@@ -1,0 +1,187 @@
+"""Batched CLIPPER densest-clique solver (projected power iteration with
+constraint-penalty homotopy) for all-to-all object association.
+
+Re-implements the C++ CLIPPER solver (mit-acl/clipper, used through
+clipperpy at reference roman/align/object_registration.py:22-29) from the
+papers (arXiv 2011.10202, 2402.07284) as a fixed-iteration, static-shape
+JAX program that vmaps over an entire grid of submap pairs.
+
+CLIPPER relaxes maximum-weight-clique over the association consistency
+graph to  max_u u^T M u  s.t. u >= 0, ||u|| = 1, u_i u_j = 0 where C_ij=0,
+and solves it by gradient ascent on the penalized matrix
+M_d = M - d * Cb (Cb = complement of the constraint matrix), projecting
+onto the nonnegative sphere while homotopy-increasing the penalty d until
+no active constraint violations remain; the solution is rounded to the
+clique by taking the omega = round(u^T M_d u) largest entries of u.
+
+TWO TPU-SPECIFIC STRUCTURAL WINS versus a literal port:
+
+1. The constraint matrix is never materialized. For all-to-all
+   associations (clipperpy.utils.create_all_to_all,
+   object_registration.py:41), two associations conflict iff they share
+   exactly one endpoint, so with u viewed as a (n, m) matrix U:
+       (Cb u)[a,b] = rowsum(U)[a] + colsum(U)[b] - 2 U[a,b]
+   — an O(nm) rank-structured product instead of an O(n^2 m^2) matmul.
+
+2. The affinity M is built once as a broadcast 4-tensor (invariants.py)
+   and every power iteration is a single (N,N)@(N,) matmul batched over
+   all pairs on the MXU; the reference runs one Eigen solve per pair on a
+   CPU (submap_align.py:93-157).
+
+Rounding is greedy-feasible (row/col occupancy masks) rather than plain
+top-omega, which guarantees a one-to-one matching without a constraint
+matrix.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+_EPS = 1e-9
+
+
+@struct.dataclass
+class ClipperSolveParams:
+    warmup_iters: int = struct.field(pytree_node=False, default=10)
+    outer_iters: int = struct.field(pytree_node=False, default=12)
+    inner_iters: int = struct.field(pytree_node=False, default=10)
+    rounding_max: int = struct.field(pytree_node=False, default=64)
+    active_eps: float = 1e-6
+
+
+def _cb_matvec(U: jax.Array) -> jax.Array:
+    """(Cb u) for the all-to-all one-to-one constraint structure.
+
+    U: (..., n, m) nonnegative. Returns (..., n, m).
+    """
+    rows = jnp.sum(U, axis=-1, keepdims=True)
+    cols = jnp.sum(U, axis=-2, keepdims=True)
+    return rows + cols - 2.0 * U
+
+
+def _normalize(u: jax.Array) -> jax.Array:
+    nrm = jnp.sqrt(jnp.sum(u * u, axis=(-2, -1), keepdims=True))
+    return u / jnp.maximum(nrm, _EPS)
+
+
+def solve(M4: jax.Array, valid: jax.Array, params: ClipperSolveParams = ClipperSolveParams()):
+    """Solve the densest-clique relaxation.
+
+    Args:
+      M4: (..., n, m, n, m) affinity (invariants.affinity output). Diagonal
+        holds single-association scores; conflicts/invalid already zeroed.
+      valid: (..., n, m) bool mask of real (non-padding) associations.
+      params: iteration budget (static).
+
+    Returns:
+      u: (..., n, m) solution vector (nonnegative, unit norm).
+      d: (..., ) final penalty.
+      F: (..., ) final objective u^T M_d u (clique-size estimate).
+    """
+    batch = M4.shape[:-4]
+    n, m = M4.shape[-4], M4.shape[-3]
+    N = n * m
+    M = M4.reshape(batch + (N, N))
+    validf = valid.astype(M4.dtype)
+
+    def m_matvec(U):
+        u = U.reshape(batch + (N, 1))
+        r = jnp.matmul(M, u, precision=jax.lax.Precision.HIGHEST)
+        return r.reshape(batch + (n, m))
+
+    # --- warm start: shifted power iteration toward the Perron vector ---
+    U = _normalize(validf + 1e-3)
+
+    def warm_body(U, _):
+        U = _normalize((m_matvec(U) + U) * validf)
+        return U, None
+
+    U, _ = jax.lax.scan(warm_body, U, None, length=params.warmup_iters)
+
+    # --- homotopy: projected power iterations on M - d*Cb ---
+    d0 = jnp.zeros(batch, M4.dtype)
+
+    def outer_body(carry, _):
+        U, d = carry
+
+        def inner_body(U, _):
+            g = m_matvec(U) - d[..., None, None] * _cb_matvec(U)
+            Unew = jnp.maximum(g, 0.0) * validf
+            nrm = jnp.sqrt(jnp.sum(Unew * Unew, axis=(-2, -1), keepdims=True))
+            Unew = jnp.where(nrm > _EPS, Unew / jnp.maximum(nrm, _EPS), U)
+            return Unew, None
+
+        U, _ = jax.lax.scan(inner_body, U, None, length=params.inner_iters)
+
+        # penalty increase: d += E[ (M u)_i / (Cb u)_i ] over active violations
+        Mu = m_matvec(U)
+        Cbu = _cb_matvec(U)
+        viol = (U > params.active_eps) & (Cbu > params.active_eps)
+        num = jnp.sum(jnp.where(viol, Mu, 0.0), axis=(-2, -1))
+        den = jnp.sum(jnp.where(viol, Cbu, 0.0), axis=(-2, -1))
+        delta = jnp.where(den > _EPS, num / jnp.maximum(den, _EPS), 0.0)
+        d = d + delta + jnp.where(jnp.any(viol, axis=(-2, -1)), 1e-3, 0.0)
+        return (U, d), None
+
+    (U, d), _ = jax.lax.scan(outer_body, (U, d0), None, length=params.outer_iters)
+
+    Mdu = m_matvec(U) - d[..., None, None] * _cb_matvec(U)
+    F = jnp.sum(U * Mdu, axis=(-2, -1))
+    return U, d, F
+
+
+def round_greedy(u: jax.Array, omega: jax.Array, max_steps: int):
+    """Greedy-feasible rounding of the solution vector.
+
+    Selects up to round(omega) associations in decreasing u order while
+    maintaining one-to-one row/col feasibility.
+
+    Args:
+      u: (..., n, m) nonnegative solution.
+      omega: (...,) clique-size estimate (u^T M_d u).
+      max_steps: static upper bound on clique size (e.g. min(n, m)).
+
+    Returns:
+      sel: (..., n, m) bool selection mask; count: (...,) int32.
+    """
+    batch = u.shape[:-2]
+    n, m = u.shape[-2], u.shape[-1]
+    target = jnp.clip(jnp.round(omega), 0, max_steps).astype(jnp.int32)
+
+    def body(carry, _):
+        row_free, col_free, sel, count = carry
+        cand = jnp.where(row_free[..., :, None] & col_free[..., None, :], u, -1.0)
+        flat = cand.reshape(batch + (n * m,))
+        idx = jnp.argmax(flat, axis=-1)
+        val = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+        a = idx // m
+        b = idx % m
+        take = (val > 0.0) & (count < target)
+        onehot_a = jax.nn.one_hot(a, n, dtype=bool)
+        onehot_b = jax.nn.one_hot(b, m, dtype=bool)
+        pick = onehot_a[..., :, None] & onehot_b[..., None, :]
+        sel = sel | (pick & take[..., None, None])
+        row_free = row_free & ~(onehot_a & take[..., None])
+        col_free = col_free & ~(onehot_b & take[..., None])
+        count = count + take.astype(jnp.int32)
+        return (row_free, col_free, sel, count), None
+
+    init = (
+        jnp.ones(batch + (n,), bool),
+        jnp.ones(batch + (m,), bool),
+        jnp.zeros(batch + (n, m), bool),
+        jnp.zeros(batch, jnp.int32),
+    )
+    (_, _, sel, count), _ = jax.lax.scan(body, init, None, length=max_steps)
+    return sel, count
+
+
+def solve_and_round(M4, valid, max_clique: int,
+                    params: ClipperSolveParams = ClipperSolveParams()):
+    """solve() + round_greedy(); the get_selected_associations equivalent
+    (object_registration.py:27-29)."""
+    u, d, F = solve(M4, valid, params)
+    sel, count = round_greedy(u, F, max_clique)
+    return sel, count, u, F

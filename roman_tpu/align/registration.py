@@ -1,0 +1,273 @@
+"""Batched object-map registration: ROMAN / distance-CLIPPER /
+clipper+prune / RANSAC methods over grids of submap pairs.
+
+Equivalent of the reference registration class family
+(roman/align/object_registration.py, roman_registration.py,
+dist_reg_with_pruning.py, ransac_reg.py) and of the method factory in
+roman/params/submap_align_params.py:86-150 — but instead of one
+python+C++ solve per pair, each method is a pure function over batched
+SubmapFeatures that registers every pair in one jit'd program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from roman_tpu.align import clipper as clipper_mod
+from roman_tpu.align import invariants
+from roman_tpu.align.invariants import ROMANInvariantParams, SubmapFeatures
+from roman_tpu.ops.arun import arun
+from roman_tpu.ops.se3 import T_to_xyzrpy
+
+# methods sharing the ROMAN invariant machinery, and which feature blocks
+# they enable (submap_align_params.py:98-116)
+_ROMAN_FAMILY = {
+    #            gravity  volume  extent  pca    semantics
+    "clipper":       (False, False, False, False, False),
+    "gravity":       (True,  False, False, False, False),
+    "pcavolgrav":    (True,  True,  False, True,  False),
+    "extentvolgrav": (True,  True,  True,  False, False),
+    "roman":         (True,  True,  False, True,  True),
+    "sevg":          (True,  True,  True,  False, True),
+    "spv":           (False, True,  False, True,  True),
+    "semanticgrav":  (True,  False, False, False, True),
+}
+_METHOD_ALIASES = {"spvg": "roman", "roman_no_semantics": "pcavolgrav"}
+
+
+@dataclasses.dataclass
+class RegistrationConfig:
+    """Host-level (static) registration configuration."""
+
+    method: str = "roman"
+    dim: int = 3
+    fusion: str = "geometric_mean"
+    sigma: float = 0.4
+    epsilon: float = 0.6
+    mindist: float = 0.2
+    epsilon_shape: float = 0.0
+    cos_min: float = 0.85
+    cos_max: float = 1.0
+    gravity_unc_ang_rad: float = 0.0872665
+    roll_pitch_thresh: float = float(np.deg2rad(5))
+    ransac_iter: int = 4096
+    max_clique: int = 64
+    solver: clipper_mod.ClipperSolveParams = dataclasses.field(
+        default_factory=clipper_mod.ClipperSolveParams
+    )
+
+    def __post_init__(self):
+        self.method = _METHOD_ALIASES.get(self.method, self.method)
+
+    @property
+    def feature_flags(self):
+        if self.method in _ROMAN_FAMILY:
+            return _ROMAN_FAMILY[self.method]
+        # clipper+prune / ransac use centers only
+        return (self.method == "clipper+prune", False, False, False, False)
+
+    def invariant_params(self, n_ratio_feats: int) -> ROMANInvariantParams:
+        gravity, volume, extent, pca, semantics = self.feature_flags
+        return ROMANInvariantParams(
+            sigma=self.sigma,
+            epsilon=self.epsilon,
+            mindist=self.mindist,
+            cos_min=self.cos_min,
+            cos_max=self.cos_max,
+            ratio_epsilon=(
+                jnp.full((n_ratio_feats,), self.epsilon_shape)
+                if n_ratio_feats > 0
+                else None
+            ),
+            gravity=gravity,
+            gravity_unc_ang_rad=self.gravity_unc_ang_rad,
+            fusion=self.fusion,
+            use_ratio=n_ratio_feats > 0,
+            use_cosine=semantics,
+        )
+
+
+@struct.dataclass
+class RegistrationResult:
+    sel: jax.Array      # (..., n, m) bool selected associations
+    count: jax.Array    # (...,) int32 number of associations
+    T_align: jax.Array  # (..., 4, 4) aligns map2 -> map1 (T_align semantics,
+                        # object_registration.py:88-129)
+    ok: jax.Array       # (...,) bool: count >= dim (else the reference raises
+                        # InsufficientAssociationsException, :106-108)
+    u: jax.Array        # (..., n, m) solver certificate
+    score: jax.Array    # (...,) clique objective
+
+
+def build_features(
+    centers: jax.Array,
+    valid: jax.Array,
+    cfg: RegistrationConfig,
+    pca_attrs: Optional[jax.Array] = None,   # (..., n, 3) lin/plan/scat
+    volume: Optional[jax.Array] = None,      # (..., n)
+    extent: Optional[jax.Array] = None,      # (..., n, 3)
+    descriptors: Optional[jax.Array] = None,  # (..., n, D)
+) -> SubmapFeatures:
+    """Assemble the per-object feature layout of
+    ROMANRegistration._object_to_clipper_list (roman_registration.py:98-108):
+    [pca(3)] + [volume(1)] + [sorted extent(3)] as ratio features, plus the
+    semantic descriptor block."""
+    _, use_volume, use_extent, use_pca, use_sem = cfg.feature_flags
+    blocks = []
+    if use_pca:
+        blocks.append(pca_attrs)
+    if use_volume:
+        blocks.append(volume[..., None])
+    if use_extent:
+        blocks.append(jnp.sort(extent, axis=-1))
+    ratio = (
+        jnp.concatenate(blocks, axis=-1)
+        if blocks
+        else jnp.zeros(centers.shape[:-1] + (0,), centers.dtype)
+    )
+    desc = (
+        descriptors
+        if (use_sem and descriptors is not None)
+        else jnp.zeros(centers.shape[:-1] + (0,), centers.dtype)
+    )
+    return SubmapFeatures(
+        centers=centers, ratio_feats=ratio, descriptors=desc, valid=valid
+    )
+
+
+def _t_align_from_selection(f1, f2, sel):
+    """Batched Arun over selected center correspondences. sel (..., n, m)."""
+    n, m = sel.shape[-2], sel.shape[-1]
+    pts1 = jnp.broadcast_to(
+        f1.centers[..., :, None, :], sel.shape + (3,)
+    ).reshape(sel.shape[:-2] + (n * m, 3))
+    pts2 = jnp.broadcast_to(
+        f2.centers[..., None, :, :], sel.shape + (3,)
+    ).reshape(sel.shape[:-2] + (n * m, 3))
+    w = sel.reshape(sel.shape[:-2] + (n * m,)).astype(pts1.dtype)
+    return arun(pts1, pts2, w)
+
+
+def register_clipper(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationConfig,
+                     assoc_mask: Optional[jax.Array] = None) -> RegistrationResult:
+    """ROMAN-family registration (also used by clipper+prune with an
+    assoc_mask). Batched over leading dims of f1/f2."""
+    p = cfg.invariant_params(f1.ratio_feats.shape[-1])
+    M4, _ = invariants.affinity(f1, f2, p)
+    valid = f1.valid[..., :, None] & f2.valid[..., None, :]
+    if assoc_mask is not None:
+        valid = valid & assoc_mask
+        keep = (
+            assoc_mask[..., :, :, None, None] & assoc_mask[..., None, None, :, :]
+        )
+        M4 = jnp.where(keep, M4, 0.0)
+    max_clique = min(cfg.max_clique, min(f1.capacity, f2.capacity))
+    sel, count, u, F = clipper_mod.solve_and_round(M4, valid, max_clique, cfg.solver)
+    T = _t_align_from_selection(f1, f2, sel)
+    ok = count >= cfg.dim
+    return RegistrationResult(sel=sel, count=count, T_align=T, ok=ok, u=u, score=F)
+
+
+def register_clipper_prune(f1: SubmapFeatures, f2: SubmapFeatures,
+                           cfg: RegistrationConfig,
+                           pca_attrs1=None, volume1=None,
+                           pca_attrs2=None, volume2=None,
+                           descriptors1=None, descriptors2=None) -> RegistrationResult:
+    """clipper+prune baseline (dist_reg_with_pruning.py): Euclidean-distance
+    CLIPPER over candidates pre-pruned by descriptor cosine < cos_min and
+    shape-attribute min/max ratio < epsilon_shape; post-hoc gravity check
+    marks results with large roll/pitch as failed (GravityConstraintError)."""
+    assoc = f1.valid[..., :, None] & f2.valid[..., None, :]
+    if descriptors1 is not None and descriptors2 is not None:
+        cos = jnp.einsum("...nd,...md->...nm", descriptors1, descriptors2)
+        assoc = assoc & (cos >= cfg.cos_min)
+    if volume1 is not None and pca_attrs1 is not None:
+        sa1 = jnp.concatenate([volume1[..., None], pca_attrs1], axis=-1)
+        sa2 = jnp.concatenate([volume2[..., None], pca_attrs2], axis=-1)
+        a = jnp.abs(sa1[..., :, None, :])
+        b = jnp.abs(sa2[..., None, :, :])
+        rho = jnp.minimum(a, b) / jnp.maximum(jnp.maximum(a, b), 1e-9)
+        assoc = assoc & jnp.all(rho >= cfg.epsilon_shape, axis=-1)
+    res = register_clipper(f1, f2, cfg, assoc_mask=assoc)
+    rpy = T_to_xyzrpy(res.T_align)[..., 3:]
+    grav_ok = (jnp.abs(rpy[..., 0]) < cfg.roll_pitch_thresh) & (
+        jnp.abs(rpy[..., 1]) < cfg.roll_pitch_thresh
+    )
+    return res.replace(ok=res.ok & grav_ok)
+
+
+def register_ransac(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationConfig,
+                    key: jax.Array,
+                    max_corr_dist: float = 0.5,
+                    edge_len: float = 0.95) -> RegistrationResult:
+    """RANSAC baseline over object centers with edge-length check
+    (ransac_reg.py:43-51, o3d registration_ransac_based_on_correspondence
+    semantics), fully batched: S static hypothesis triplets per pair.
+    """
+    batch = f1.centers.shape[:-2]
+    n, m = f1.capacity, f2.capacity
+    S = cfg.ransac_iter
+
+    valid_pairs = f1.valid[..., :, None] & f2.valid[..., None, :]
+    # sample candidate associations proportionally among valid ones
+    logits = jnp.where(valid_pairs, 0.0, -1e9).reshape(batch + (n * m,))
+    cand = jax.random.categorical(key, logits[..., None, :].repeat(3 * S, axis=-2), axis=-1)
+    cand = cand.reshape(batch + (S, 3))
+    a = cand // m  # (..., S, 3)
+    b = cand % m
+
+    c1 = jnp.take_along_axis(
+        f1.centers[..., None, :, :].repeat(S, axis=-3), a[..., None].repeat(3, -1), axis=-2
+    )  # (..., S, 3pts, 3)
+    c2 = jnp.take_along_axis(
+        f2.centers[..., None, :, :].repeat(S, axis=-3), b[..., None].repeat(3, -1), axis=-2
+    )
+
+    # edge-length checker: corresponding triangle edges must have similar length
+    def edges(c):
+        return jnp.stack(
+            [
+                jnp.linalg.norm(c[..., 0, :] - c[..., 1, :], axis=-1),
+                jnp.linalg.norm(c[..., 1, :] - c[..., 2, :], axis=-1),
+                jnp.linalg.norm(c[..., 0, :] - c[..., 2, :], axis=-1),
+            ],
+            axis=-1,
+        )
+    e1, e2 = edges(c1), edges(c2)
+    emin = jnp.minimum(e1, e2)
+    emax = jnp.maximum(e1, e2)
+    edge_ok = jnp.all(emin > edge_len * emax, axis=-1)  # (..., S)
+
+    T_h = arun(c1, c2)  # (..., S, 4, 4) aligns c2 -> c1
+
+    # inliers: valid candidate associations with ||T p2 - p1|| < max_corr_dist
+    p2t = jnp.einsum("...sij,...mj->...smi", T_h[..., :3, :3], f2.centers) + T_h[
+        ..., None, :3, 3
+    ]  # (..., S, m, 3)
+    d = jnp.linalg.norm(
+        f1.centers[..., None, :, None, :] - p2t[..., None, :, :], axis=-1
+    )  # (..., S, n, m)
+    inl = (d < max_corr_dist) & valid_pairs[..., None, :, :]
+    n_inl = jnp.sum(inl, axis=(-2, -1)) * edge_ok  # (..., S)
+
+    best = jnp.argmax(n_inl, axis=-1)
+    sel_all = jnp.take_along_axis(
+        inl, best[..., None, None, None].astype(jnp.int32), axis=-3
+    )[..., 0, :, :]
+    # greedy one-to-one from inlier distances
+    u_like = jnp.where(sel_all, 1.0 / (1.0 + jnp.take_along_axis(
+        d, best[..., None, None, None].astype(jnp.int32), axis=-3)[..., 0, :, :]), 0.0)
+    sel, count = clipper_mod.round_greedy(
+        u_like, jnp.full(batch, min(n, m), jnp.float32), min(cfg.max_clique, min(n, m))
+    )
+    T = _t_align_from_selection(f1, f2, sel)
+    return RegistrationResult(
+        sel=sel, count=count, T_align=T, ok=count >= cfg.dim, u=u_like,
+        score=count.astype(jnp.float32),
+    )

@@ -1,0 +1,164 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as Rot
+
+from roman_tpu.ops import arun, geometry, voxel, pointcloud, metrics, hungarian
+
+
+def test_arun_recovers_transform(rng):
+    R = Rot.random(8, random_state=1).as_matrix()
+    t = rng.normal(size=(8, 3)) * 3
+    pts2 = rng.normal(size=(8, 12, 3))
+    pts1 = np.einsum("bij,bnj->bni", R, pts2) + t[:, None]
+    T = np.asarray(arun.arun(jnp.asarray(pts1), jnp.asarray(pts2)))
+    np.testing.assert_allclose(T[:, :3, :3], R, atol=1e-5)
+    np.testing.assert_allclose(T[:, :3, 3], t, atol=1e-5)
+
+
+def test_arun_masked_ignores_padding(rng):
+    R = Rot.random(1, random_state=2).as_matrix()[0]
+    t = np.array([1.0, -2.0, 0.5])
+    pts2 = rng.normal(size=(10, 3))
+    pts1 = pts2 @ R.T + t
+    # corrupt padded rows
+    pts1_pad = np.concatenate([pts1, rng.normal(size=(5, 3)) * 100])
+    pts2_pad = np.concatenate([pts2, rng.normal(size=(5, 3)) * 100])
+    w = np.concatenate([np.ones(10), np.zeros(5)])
+    T = np.asarray(arun.arun(jnp.asarray(pts1_pad), jnp.asarray(pts2_pad), jnp.asarray(w)))
+    np.testing.assert_allclose(T[:3, :3], R, atol=1e-5)
+    np.testing.assert_allclose(T[:3, 3], t, atol=1e-5)
+
+
+def test_arun_reflection_fix(rng):
+    # coplanar points can produce reflection-prone SVD; det must stay +1
+    pts2 = rng.normal(size=(6, 3))
+    pts2[:, 2] = 0.0
+    R = Rot.from_euler("z", 1.0).as_matrix()
+    pts1 = pts2 @ R.T
+    T = np.asarray(arun.arun(jnp.asarray(pts1), jnp.asarray(pts2)))
+    assert np.linalg.det(T[:3, :3]) > 0.99
+
+
+def test_shape_attributes(rng):
+    # line-like, plane-like, sphere-like clouds
+    n = 200
+    line = np.stack([np.linspace(0, 10, n), np.zeros(n), np.zeros(n)], axis=1)
+    line += rng.normal(size=(n, 3)) * 0.01
+    plane = rng.normal(size=(n, 3)) * [5, 5, 0.01]
+    blob = rng.normal(size=(n, 3))
+    pts = np.stack([line, plane, blob])
+    mask = np.ones((3, n), dtype=bool)
+    att = np.asarray(geometry.shape_attributes(jnp.asarray(pts), jnp.asarray(mask)))
+    assert att[0, 0] > 0.9  # linearity
+    assert att[1, 1] > 0.7  # planarity
+    assert att[2, 2] > 0.4  # scattering
+    assert att[1, 1] > att[0, 1] and att[1, 1] > att[2, 1]
+
+    # against the reference formula via numpy svd
+    C = np.cov(blob.T, bias=True)
+    e = np.linalg.svd(C)[1]
+    e = e / e.sum()
+    ref = [(e[0] - e[1]) / e[0], (e[1] - e[2]) / e[0], e[2] / e[0]]
+    np.testing.assert_allclose(att[2], ref, atol=1e-5)
+
+
+def test_obb_volume_axis_aligned_box(rng):
+    pts = rng.uniform(size=(500, 3)) * [2.0, 3.0, 1.0]
+    mask = np.ones(500, dtype=bool)
+    vol, extent = geometry.obb_volume_extent(jnp.asarray(pts), jnp.asarray(mask))
+    # PCA-OBB overestimates slightly for uniform boxes (axes from sample cov)
+    assert abs(float(vol) - 6.0) / 6.0 < 0.25
+    np.testing.assert_allclose(np.sort(np.asarray(extent)), [1.0, 2.0, 3.0], rtol=0.2)
+
+
+def test_voxel_iou_matches_numpy(rng):
+    for _ in range(5):
+        p1 = rng.normal(size=(60, 3))
+        p2 = p1 + rng.normal(size=(60, 3)) * 0.1
+        m1 = rng.uniform(size=60) > 0.2
+        m2 = rng.uniform(size=60) > 0.2
+        got = float(
+            voxel.voxel_iou_points(
+                jnp.asarray(p1), jnp.asarray(m1), jnp.asarray(p2), jnp.asarray(m2), 0.2
+            )
+        )
+        ref = voxel.voxel_iou_np(p1[m1], p2[m2], 0.2)
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+        got_iom = float(
+            voxel.voxel_iou_points(
+                jnp.asarray(p1), jnp.asarray(m1), jnp.asarray(p2), jnp.asarray(m2), 0.2,
+                iom_as_iou=True,
+            )
+        )
+        ref_iom = voxel.voxel_iou_np(p1[m1], p2[m2], 0.2, iom_as_iou=True)
+        np.testing.assert_allclose(got_iom, ref_iom, atol=1e-6)
+
+
+def test_voxel_downsample_matches_numpy(rng):
+    pts = rng.normal(size=(100, 3))
+    mask = np.ones(100, dtype=bool)
+    out, out_mask = voxel.voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 0.5)
+    got = np.sort(np.asarray(out)[np.asarray(out_mask)], axis=0)
+    ref = np.sort(voxel.voxel_downsample_np(pts, 0.5), axis=0)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_outlier_removal_agrees_with_numpy(rng):
+    pts = rng.normal(size=(50, 3))
+    pts[0] = [100, 100, 100]  # obvious outlier
+    mask = np.ones(50, dtype=bool)
+    keep = np.asarray(
+        pointcloud.statistical_outlier_mask(jnp.asarray(pts), jnp.asarray(mask), 10, 1.0)
+    )
+    ref = pointcloud.statistical_outlier_mask_np(pts, 10, 1.0)
+    assert not keep[0]
+    np.testing.assert_array_equal(keep, ref)
+
+
+def test_largest_cluster(rng):
+    a = rng.normal(size=(50, 3)) * 0.05
+    b = rng.normal(size=(20, 3)) * 0.05 + 10.0
+    keep = pointcloud.largest_cluster_mask_np(np.concatenate([a, b]), eps=0.5, min_points=5)
+    assert keep[:50].all() and not keep[50:].any()
+
+
+def test_chamfer(rng):
+    p1 = rng.normal(size=(30, 3))
+    p2 = rng.normal(size=(40, 3))
+    m1 = np.ones(30, dtype=bool)
+    m2 = np.ones(40, dtype=bool)
+    got = float(metrics.chamfer_distance(jnp.asarray(p1), jnp.asarray(m1), jnp.asarray(p2), jnp.asarray(m2)))
+    d = np.linalg.norm(p1[:, None] - p2[None], axis=-1)
+    ref = min(d.min(axis=1).mean(), d.min(axis=0).mean())
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_wasserstein_identity(rng):
+    mu = rng.normal(size=3)
+    A = rng.normal(size=(3, 3))
+    S = A @ A.T + np.eye(3)
+    got = float(metrics.wasserstein_metric(jnp.asarray(mu), jnp.asarray(S), jnp.asarray(mu), jnp.asarray(S)))
+    np.testing.assert_allclose(got, 0.0, atol=1e-4)
+
+
+def test_hungarian_rejection(rng):
+    scores = np.array([[0.1, 2.0], [2.0, 0.2], [2.0, 2.0]])
+    pairs = hungarian.assignment_with_rejection_np(scores)
+    assert (0, 0) in pairs and (1, 1) in pairs
+    assert len(pairs) == 2
+
+
+def test_auction_matches_hungarian(rng):
+    for _ in range(5):
+        benefit = rng.uniform(0.1, 1.0, size=(6, 7))
+        rm = np.ones(6, dtype=bool)
+        cm = np.ones(7, dtype=bool)
+        match = np.asarray(
+            hungarian.auction_assignment(jnp.asarray(benefit), jnp.asarray(rm), jnp.asarray(cm), n_iters=500, eps=1e-4)
+        )
+        rows, cols = np.asarray(
+            __import__("scipy.optimize", fromlist=["linear_sum_assignment"]).linear_sum_assignment(-benefit)
+        )
+        ref_total = benefit[rows, cols].sum()
+        got_total = sum(benefit[i, match[i]] for i in range(6) if match[i] >= 0)
+        assert got_total >= ref_total - 0.05  # near-optimal within eps-scaling
