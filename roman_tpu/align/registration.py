@@ -217,17 +217,19 @@ def register_ransac(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationCon
     valid_pairs = f1.valid[..., :, None] & f2.valid[..., None, :]
     # sample candidate associations proportionally among valid ones
     logits = jnp.where(valid_pairs, 0.0, -1e9).reshape(batch + (n * m,))
-    cand = jax.random.categorical(key, logits[..., None, :].repeat(3 * S, axis=-2), axis=-1)
-    cand = cand.reshape(batch + (S, 3))
+    cand = jax.random.categorical(key, logits, axis=-1, shape=(S, 3) + batch)
+    cand = jnp.moveaxis(cand.reshape((S, 3) + batch), (0, 1), (-2, -1))  # (..., S, 3)
     a = cand // m  # (..., S, 3)
     b = cand % m
 
-    c1 = jnp.take_along_axis(
-        f1.centers[..., None, :, :].repeat(S, axis=-3), a[..., None].repeat(3, -1), axis=-2
-    )  # (..., S, 3pts, 3)
-    c2 = jnp.take_along_axis(
-        f2.centers[..., None, :, :].repeat(S, axis=-3), b[..., None].repeat(3, -1), axis=-2
-    )
+    def gather_pts(centers, idx):
+        # centers (..., k, 3), idx (..., S, 3) -> (..., S, 3pts, 3)
+        return jnp.take_along_axis(
+            centers[..., None, :, :], idx[..., None], axis=-2
+        )
+
+    c1 = gather_pts(f1.centers, a)
+    c2 = gather_pts(f2.centers, b)
 
     # edge-length checker: corresponding triangle edges must have similar length
     def edges(c):
@@ -246,23 +248,56 @@ def register_ransac(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationCon
 
     T_h = arun(c1, c2)  # (..., S, 4, 4) aligns c2 -> c1
 
-    # inliers: valid candidate associations with ||T p2 - p1|| < max_corr_dist
-    p2t = jnp.einsum("...sij,...mj->...smi", T_h[..., :3, :3], f2.centers) + T_h[
-        ..., None, :3, 3
-    ]  # (..., S, m, 3)
-    d = jnp.linalg.norm(
-        f1.centers[..., None, :, None, :] - p2t[..., None, :, :], axis=-1
-    )  # (..., S, n, m)
-    inl = (d < max_corr_dist) & valid_pairs[..., None, :, :]
-    n_inl = jnp.sum(inl, axis=(-2, -1)) * edge_ok  # (..., S)
+    # score hypotheses in chunks to bound the (..., chunk, n, m) tensor
+    # (a single (..., S, n, m) buffer is O(GB) for realistic S)
+    CHUNK = min(S, 128)
+    n_chunks = (S + CHUNK - 1) // CHUNK
+    S_pad = n_chunks * CHUNK
+    T_pad = jnp.concatenate(
+        [T_h, jnp.broadcast_to(jnp.eye(4, dtype=T_h.dtype), batch + (S_pad - S, 4, 4))],
+        axis=-3,
+    )
+    edge_ok_pad = jnp.concatenate(
+        [edge_ok, jnp.zeros(batch + (S_pad - S,), bool)], axis=-1
+    )
+    T_chunks = jnp.moveaxis(
+        T_pad.reshape(batch + (n_chunks, CHUNK, 4, 4)), len(batch), 0
+    )  # (n_chunks, ..., CHUNK, 4, 4)
+    ok_chunks = jnp.moveaxis(
+        edge_ok_pad.reshape(batch + (n_chunks, CHUNK)), len(batch), 0
+    )
 
-    best = jnp.argmax(n_inl, axis=-1)
-    sel_all = jnp.take_along_axis(
-        inl, best[..., None, None, None].astype(jnp.int32), axis=-3
+    def score_chunk(args):
+        T_c, ok_c = args  # (..., CHUNK, 4, 4), (..., CHUNK)
+        p2t = jnp.einsum(
+            "...sij,...mj->...smi", T_c[..., :3, :3], f2.centers
+        ) + T_c[..., None, :3, 3]
+        d = jnp.linalg.norm(
+            f1.centers[..., None, :, None, :] - p2t[..., None, :, :], axis=-1
+        )  # (..., CHUNK, n, m)
+        inl = (d < max_corr_dist) & valid_pairs[..., None, :, :]
+        cnt = jnp.sum(inl, axis=(-2, -1)) * ok_c  # (..., CHUNK)
+        best_local = jnp.argmax(cnt, axis=-1)
+        best_cnt = jnp.take_along_axis(cnt, best_local[..., None], axis=-1)[..., 0]
+        best_T = jnp.take_along_axis(
+            T_c, best_local[..., None, None, None].astype(jnp.int32), axis=-3
+        )[..., 0, :, :]
+        return best_cnt, best_T
+
+    cnts, Ts = jax.lax.map(score_chunk, (T_chunks, ok_chunks))
+    best_chunk = jnp.argmax(cnts, axis=0)  # (...,)
+    T_best = jnp.take_along_axis(
+        jnp.moveaxis(Ts, 0, len(batch)),
+        best_chunk[..., None, None, None].astype(jnp.int32), axis=len(batch),
     )[..., 0, :, :]
-    # greedy one-to-one from inlier distances
-    u_like = jnp.where(sel_all, 1.0 / (1.0 + jnp.take_along_axis(
-        d, best[..., None, None, None].astype(jnp.int32), axis=-3)[..., 0, :, :]), 0.0)
+
+    # final inlier set under the best hypothesis
+    p2t = jnp.einsum("...ij,...mj->...mi", T_best[..., :3, :3], f2.centers) + T_best[
+        ..., None, :3, 3
+    ]
+    d_best = jnp.linalg.norm(f1.centers[..., :, None, :] - p2t[..., None, :, :], axis=-1)
+    sel_all = (d_best < max_corr_dist) & valid_pairs
+    u_like = jnp.where(sel_all, 1.0 / (1.0 + d_best), 0.0)
     sel, count = clipper_mod.round_greedy(
         u_like, jnp.full(batch, min(n, m), jnp.float32), min(cfg.max_clique, min(n, m))
     )

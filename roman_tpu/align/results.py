@@ -1,0 +1,294 @@
+"""Alignment result matrices and artifact writers.
+
+Parity with reference roman/align/results.py: SubmapAlignResults dataclass
+(:18-44), heatmap png (:55-120), matrix/results pickles + timing/params
+text files (:122-147), the g2o loop-closure edge writer with '# LC: n'
+comment protocol and fixed information matrix (:149-195), the LC json list
+(:173-198), and per-robot submap/segment json export (:201-246). These
+files are the compatibility surface consumed by the offline RPGO stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+from roman_tpu.map.roman_map import RomanMap, Submap
+from roman_tpu.params.submap_align_params import (
+    SubmapAlignInputOutput,
+    SubmapAlignParams,
+)
+from roman_tpu.data.pose_data import PoseData
+from roman_tpu.ops import se3
+import jax.numpy as jnp
+
+
+def time_to_secs_nsecs(t, as_dict=False):
+    seconds = int(t)
+    nanoseconds = int((t - int(t)) * 1e9)
+    if not as_dict:
+        return seconds, nanoseconds
+    return {"seconds": seconds, "nanoseconds": nanoseconds}
+
+
+@dataclasses.dataclass
+class SubmapAlignResults:
+    robots_nearby_mat: np.ndarray
+    clipper_angle_mat: np.ndarray
+    clipper_dist_mat: np.ndarray
+    clipper_num_associations: np.ndarray
+    similarity_mat: Optional[np.ndarray]
+    submap_yaw_diff_mat: np.ndarray
+    associated_objs_mat: list                   # [i][j] -> (k, 2) int array
+    T_ij_mat: np.ndarray
+    T_ij_hat_mat: np.ndarray
+    timing_list: List[float]
+    submap_align_params: SubmapAlignParams
+    submap_io: SubmapAlignInputOutput
+    total_time: float = -np.inf
+
+    def save(self):
+        with open(self.submap_io.output_pkl, "wb") as f:
+            pickle.dump(self, f)
+
+    @classmethod
+    def load(cls, file_path) -> "SubmapAlignResults":
+        with open(file_path, "rb") as f:
+            return pickle.load(f)
+
+
+def plot_align_results(results: SubmapAlignResults, dpi=200):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    show_sim = results.similarity_mat is not None
+    has_gt = None not in results.submap_io.input_gt_pose_yaml
+
+    if not has_gt:
+        fig, ax = plt.subplots(2 if show_sim else 1, 1, figsize=(8 if show_sim else 4, 4), dpi=dpi)
+        ax = np.array(ax).reshape(-1, 1)
+        mp = ax[0, 0].imshow(results.clipper_num_associations, cmap="viridis", vmin=0)
+        fig.colorbar(mp, fraction=0.04, pad=0.04)
+        ax[0, 0].set_title("Number of Associations")
+        if show_sim:
+            mp = ax[1, 0].imshow(results.similarity_mat, cmap="viridis", vmin=0.0, vmax=1.0)
+            fig.colorbar(mp, fraction=0.04, pad=0.04)
+            ax[1, 0].set_title("Similarity Score")
+        fig.suptitle(
+            f"{results.submap_io.run_name}: "
+            f"{results.submap_io.robot_names[0]}, {results.submap_io.robot_names[1]}"
+        )
+        return fig
+
+    fig, ax = plt.subplots(3, 2, figsize=(8, 12), dpi=dpi)
+    fig.subplots_adjust(wspace=0.3)
+    fig.suptitle(
+        f"{results.submap_io.run_name}: "
+        f"{results.submap_io.robot_names[0]}, {results.submap_io.robot_names[1]}"
+    )
+
+    mp = ax[0, 0].imshow(results.robots_nearby_mat, cmap="magma", vmin=0)
+    fig.colorbar(mp, fraction=0.04, pad=0.04)
+    ax[0, 0].set_title("Submaps Center Distance (m)")
+
+    mp = ax[0, 1].imshow(results.submap_yaw_diff_mat, cmap="magma", vmin=0)
+    fig.colorbar(mp, fraction=0.04, pad=0.04)
+    ax[0, 1].set_title("Submap Center Yaw Diff. (deg)")
+
+    angle_thresh, dist_thresh = 10.0, 5.0
+    angle_error = results.clipper_angle_mat.copy()
+    dist_error = results.clipper_dist_mat.copy()
+    angle_error[(dist_error > dist_thresh) & ~np.isnan(angle_error)] = angle_thresh
+    dist_error[(angle_error > angle_thresh) & ~np.isnan(dist_error)] = dist_thresh
+
+    mp = ax[1, 0].imshow(dist_error, cmap="viridis_r", vmax=dist_thresh, vmin=0.0)
+    fig.colorbar(mp, fraction=0.04, pad=0.04)
+    ax[1, 0].set_title("Registration Translation Error (m)")
+
+    mp = ax[1, 1].imshow(angle_error, cmap="viridis_r", vmax=angle_thresh, vmin=0.0)
+    fig.colorbar(mp, fraction=0.04, pad=0.04)
+    ax[1, 1].set_title("Registration Angle Error (deg)")
+
+    mp = ax[2, 0].imshow(results.clipper_num_associations, cmap="viridis", vmin=0)
+    fig.colorbar(mp, fraction=0.04, pad=0.04)
+    ax[2, 0].set_title("Number of Associations")
+
+    if show_sim:
+        mp = ax[2, 1].imshow(results.similarity_mat, cmap="viridis", vmin=0.0, vmax=1.0)
+        fig.colorbar(mp, fraction=0.04, pad=0.04)
+        ax[2, 1].set_title("Similarity Score")
+    else:
+        fig.delaxes(ax[2, 1])
+
+    for row in ax:
+        for a in row:
+            a.set_xlabel("submap index (robot 2)")
+            a.set_ylabel("submap index (robot 1)")
+            a.grid(False)
+    return fig
+
+
+def save_submap_align_results(
+    results: SubmapAlignResults,
+    submaps: List[List[Submap]],
+    roman_maps: List[RomanMap],
+):
+    import matplotlib.pyplot as plt
+
+    os.makedirs(results.submap_io.output_dir, exist_ok=True)
+
+    fig = plot_align_results(results)
+    fig.savefig(results.submap_io.output_img)
+    plt.close(fig)
+
+    with open(results.submap_io.output_matrix, "wb") as f:
+        pickle.dump(
+            [
+                results.robots_nearby_mat,
+                results.clipper_angle_mat,
+                results.clipper_dist_mat,
+                results.clipper_num_associations,
+                results.submap_yaw_diff_mat,
+            ],
+            f,
+        )
+
+    results.save()
+
+    with open(results.submap_io.output_timing, "w") as f:
+        n0, n1 = len(submaps[0]), len(submaps[1])
+        f.write(f"Total number of submaps: {n0} x {n1} = {n0 * n1}\n")
+        f.write(
+            f"Average time per registration: {np.mean(results.timing_list):.4f} seconds\n"
+        )
+        f.write(f"Total time: {np.sum(results.timing_list):.4f} seconds\n")
+        sizes = [len(sm) for sm in submaps[0] + submaps[1]]
+        f.write(f"Total number of objects: {np.sum(sizes)}\n")
+        f.write(f"Average number of obects per map: {np.mean(sizes):.2f}\n")
+
+    with open(results.submap_io.output_params, "w") as f:
+        f.write(f"{results.submap_align_params}")
+
+    _write_g2o_and_json(results, submaps, roman_maps)
+    _write_submap_jsons(results, submaps, roman_maps)
+
+
+def _write_g2o_and_json(results, submaps, roman_maps):
+    """Loop-closure g2o + json writers (reference results.py:149-198)."""
+    io = results.submap_io
+    I_t = 1 / (io.g2o_t_std**2)
+    I_r = 1 / (io.g2o_r_std**2)
+    I = np.diag([I_t, I_t, I_t, I_r, I_r, I_r])
+
+    pose_data = [
+        PoseData.from_times_and_poses(rm.times, rm.trajectory) for rm in roman_maps
+    ]
+    json_output = []
+
+    with open(io.output_g2o, "w") as f:
+        for i in range(len(submaps[0])):
+            for j in range(len(submaps[1])):
+                if results.clipper_num_associations[i, j] < io.lc_association_thresh:
+                    continue
+                if (
+                    abs(submaps[0][i].time - submaps[1][j].time)
+                    < results.submap_align_params.single_robot_lc_time_thresh
+                    and results.submap_align_params.single_robot_lc
+                ):
+                    continue
+                if np.any(np.isnan(results.T_ij_hat_mat[i, j])):
+                    continue
+                T_ci_cj = results.T_ij_hat_mat[i, j]
+                T_odomi_ci = submaps[0][i].pose_gravity_aligned
+                T_odomj_cj = submaps[1][j].pose_gravity_aligned
+                T_odomi_pi = submaps[0][i].pose_flu
+                T_odomj_pj = submaps[1][j].pose_flu
+                # loop-closure transform composition (results.py:169-171)
+                T_pi_pj = (
+                    np.linalg.inv(T_odomi_pi)
+                    @ T_odomi_ci
+                    @ T_ci_cj
+                    @ np.linalg.inv(T_odomj_cj)
+                    @ T_odomj_pj
+                )
+                t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(T_pi_pj)))
+                json_output.append(
+                    {
+                        "seconds": [int(submaps[0][i].time), int(submaps[1][j].time)],
+                        "nanoseconds": [
+                            int((submaps[0][i].time % 1) * 1e9),
+                            int((submaps[1][j].time % 1) * 1e9),
+                        ],
+                        "names": io.robot_names,
+                        "translation": t.tolist(),
+                        "rotation": q.tolist(),
+                        "rotation_convention": "xyzw",
+                    }
+                )
+                idx_a = pose_data[0].idx(submaps[0][i].time, force_single=True)
+                idx_b = pose_data[1].idx(submaps[1][j].time, force_single=True)
+                f.write(f"# LC: {int(results.clipper_num_associations[i, j])}\n")
+                f.write(f"EDGE_SE3:QUAT a{idx_a} b{idx_b} \t")
+                f.write(f"{t[0]} {t[1]} {t[2]} \t")
+                f.write(f"{q[0]} {q[1]} {q[2]} {q[3]} \t")
+                for ii in range(6):
+                    for jj in range(6):
+                        if jj < ii:
+                            continue
+                        f.write(f"{I[ii, jj]} ")
+                    f.write("\t")
+                f.write("\n")
+
+    with open(io.output_lc_json, "w") as f:
+        json.dump(json_output, f, indent=4)
+
+
+def _write_submap_jsons(results, submaps, roman_maps):
+    """Per-robot segment/submap json export (reference results.py:201-246)."""
+    io = results.submap_io
+    for i, output_sm in enumerate(io.output_submaps):
+        if output_sm is None:
+            continue
+        roman_map = roman_maps[i]
+        sm_json = {"segments": [], "submaps": []}
+        for segment in roman_map.segments:
+            sm_json["segments"].append(
+                {
+                    "robot_name": io.robot_names[i],
+                    "segment_index": segment.id,
+                    "centroid_odom": np.asarray(segment.center).reshape(3).tolist(),
+                    "shape_attributes": {
+                        "volume": float(segment.volume),
+                        "linearity": float(segment.linearity),
+                        "planarity": float(segment.planarity),
+                        "scattering": float(segment.scattering),
+                    },
+                    "first_seen": time_to_secs_nsecs(segment.first_seen, as_dict=True),
+                    "last_seen": time_to_secs_nsecs(segment.last_seen, as_dict=True),
+                }
+            )
+        for j, sm in enumerate(submaps[i]):
+            t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(sm.pose_gravity_aligned)))
+            sm_json["submaps"].append(
+                {
+                    "submap_index": j,
+                    "T_odom_submap": {
+                        "tx": float(t[0]), "ty": float(t[1]), "tz": float(t[2]),
+                        "qx": float(q[0]), "qy": float(q[1]), "qz": float(q[2]),
+                        "qw": float(q[3]),
+                    },
+                    "robot_name": io.robot_names[i],
+                    "seconds": int(sm.time),
+                    "nanoseconds": int((sm.time % 1) * 1e9),
+                    "segment_indices": [s.id for s in sm.segments],
+                }
+            )
+        with open(output_sm, "w") as f:
+            json.dump(sm_json, f, indent=4)

@@ -1,0 +1,358 @@
+"""All-pairs submap alignment — the north-star hot loop, batched on TPU.
+
+Reference behavior: roman/align/submap_align.py iterates the (i, j) submap
+pair grid serially, running one C++ CLIPPER solve + Arun SVD per pair
+(:93-201). Here the entire pair grid is packed into padded tensors and
+registered by ONE jit'd batched program (chunked to bound memory,
+optionally sharded over a device mesh along the pair axis), then the same
+gating, post-filters, error metrics and result matrices as the reference
+are filled in.
+
+Pipeline semantics preserved:
+- distance / AABB gating into robots_nearby (:96-103)
+- shared-segment removal for single-robot loop closure (:108-115)
+- GT relative pose + yaw difference (:117-129)
+- submap-descriptor cosine gate (:131-149)
+- skip_distance hard gate (:136-142)
+- upside-down rejection and roll/pitch removal (:167-172)
+- per-pair angular/translation error vs (GT) relative pose (:159-175)
+- result matrices incl. percent associations (:186-200)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roman_tpu.align import registration as reg
+from roman_tpu.align.registration import RegistrationConfig, RegistrationResult
+from roman_tpu.align.results import SubmapAlignResults, save_submap_align_results
+from roman_tpu.map.roman_map import (
+    RomanMap,
+    Submap,
+    SubmapParams,
+    load_roman_map,
+    submaps_from_roman_map,
+    submaps_to_features,
+)
+from roman_tpu.data.pose_data import PoseData
+from roman_tpu.ops import se3
+from roman_tpu.params.submap_align_params import (
+    SubmapAlignInputOutput,
+    SubmapAlignParams,
+)
+from roman_tpu.utils import aabb_intersects, expandvars_recursive
+
+
+class PairGridRegistrar:
+    """Registers arbitrary batches of submap pairs with one compiled program.
+
+    Compiles once per (chunk_size, capacity, feature-dims) signature; the
+    pair list is processed in padded chunks. With a mesh, the chunk's pair
+    axis is sharded across devices (features are gathered per pair, so no
+    cross-device communication is needed during the solve).
+    """
+
+    def __init__(self, cfg: RegistrationConfig, single_robot_lc: bool = False,
+                 chunk_size: int = 64, mesh=None, donate: bool = True):
+        self.cfg = cfg
+        self.single_robot_lc = single_robot_lc
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            chunk_size = max(chunk_size, n_dev)
+            chunk_size = ((chunk_size + n_dev - 1) // n_dev) * n_dev
+        self.chunk_size = chunk_size
+        self._jitted = {}
+
+    def _registration_fn(self):
+        cfg = self.cfg
+        single_robot_lc = self.single_robot_lc
+
+        def fn(f1, f2, ids1, ids2, key):
+            if single_robot_lc:
+                # remove segments whose ids appear in both submaps
+                # (submap_align.py:108-115)
+                shared1 = jnp.any(
+                    ids1[..., :, None] == jnp.where(f2.valid, ids2, -2)[..., None, :],
+                    axis=-1,
+                )
+                shared2 = jnp.any(
+                    ids2[..., :, None] == jnp.where(f1.valid, ids1, -2)[..., None, :],
+                    axis=-1,
+                )
+                f1 = f1.replace(valid=f1.valid & ~shared1)
+                f2 = f2.replace(valid=f2.valid & ~shared2)
+            if cfg.method == "ransac":
+                res = reg.register_ransac(f1, f2, cfg, key)
+            elif cfg.method == "clipper+prune":
+                res = reg.register_clipper_prune(
+                    f1, f2, cfg,
+                    pca_attrs1=f1.ratio_feats[..., :3] if f1.ratio_feats.shape[-1] >= 3 else None,
+                    volume1=f1.ratio_feats[..., 3] if f1.ratio_feats.shape[-1] >= 4 else None,
+                    pca_attrs2=f2.ratio_feats[..., :3] if f2.ratio_feats.shape[-1] >= 3 else None,
+                    volume2=f2.ratio_feats[..., 3] if f2.ratio_feats.shape[-1] >= 4 else None,
+                    descriptors1=f1.descriptors if f1.descriptors.shape[-1] else None,
+                    descriptors2=f2.descriptors if f2.descriptors.shape[-1] else None,
+                )
+            else:
+                res = reg.register_clipper(f1, f2, cfg)
+            return res
+
+        return fn
+
+    def _get_jitted(self, sig):
+        if sig not in self._jitted:
+            fn = self._registration_fn()
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+
+                def sharded(f1, f2, ids1, ids2, key):
+                    f1, f2, ids1, ids2 = jax.tree.map(
+                        lambda x: jax.lax.with_sharding_constraint(x, shard),
+                        (f1, f2, ids1, ids2),
+                    )
+                    return fn(f1, f2, ids1, ids2, key)
+
+                self._jitted[sig] = jax.jit(sharded)
+            else:
+                self._jitted[sig] = jax.jit(fn)
+        return self._jitted[sig]
+
+    def __call__(self, feats1, feats2, ids1_all, ids2_all, pair_i, pair_j,
+                 seed: int = 0) -> RegistrationResult:
+        """feats*: SubmapFeatures over all submaps of each robot;
+        pair_i/pair_j: (P,) submap indices to register. Returns batched
+        RegistrationResult as numpy-backed arrays of length P."""
+        P = len(pair_i)
+        C = self.chunk_size
+        out = []
+        key = jax.random.PRNGKey(seed)
+        for s in range(0, max(P, 1), C):
+            idx_i = pair_i[s: s + C]
+            idx_j = pair_j[s: s + C]
+            pad = C - len(idx_i)
+            if pad:
+                idx_i = np.concatenate([idx_i, np.zeros(pad, np.int64)])
+                idx_j = np.concatenate([idx_j, np.zeros(pad, np.int64)])
+            f1 = jax.tree.map(lambda x: x[jnp.asarray(idx_i)], feats1)
+            f2 = jax.tree.map(lambda x: x[jnp.asarray(idx_j)], feats2)
+            i1 = jnp.asarray(ids1_all[idx_i])
+            i2 = jnp.asarray(ids2_all[idx_j])
+            sig = (C,)
+            res = self._get_jitted(sig)(f1, f2, i1, i2, key)
+            res = jax.tree.map(np.asarray, res)
+            if pad:
+                res = jax.tree.map(lambda x: x[: C - pad], res)
+            out.append(res)
+        if not out:
+            return None
+        return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *out)
+
+
+def submap_align(sm_params: SubmapAlignParams, sm_io: SubmapAlignInputOutput,
+                 mesh=None, chunk_size: int = 64,
+                 precomputed_submaps: Optional[List[List[Submap]]] = None,
+                 roman_maps: Optional[List[RomanMap]] = None) -> SubmapAlignResults:
+    """Full alignment stage; drop-in equivalent of reference submap_align
+    (submap_align.py:28-220), writing the same artifact set."""
+    import os
+
+    # --- load ground truth pose data (submap_align.py:41-58) ---
+    gt_pose_data = [None, None]
+    for i, yaml_file in enumerate(sm_io.input_gt_pose_yaml):
+        if yaml_file is not None:
+            import yaml as _yaml
+
+            if sm_io.robot_env is not None:
+                os.environ[sm_io.robot_env] = sm_io.robot_names[i]
+            with open(expandvars_recursive(yaml_file)) as f:
+                gt_args = _yaml.safe_load(f)
+            gt_pose_data[i] = PoseData.from_yaml_spec(gt_args)
+
+    # --- load maps, build submaps (submap_align.py:60-65) ---
+    if roman_maps is None:
+        assert sm_io.input_type_pkl, "only pkl input supported"
+        roman_maps = [load_roman_map(sm_io.inputs[i]) for i in range(2)]
+    if precomputed_submaps is None:
+        submap_params = SubmapParams.from_submap_align_params(sm_params)
+        submap_params.use_minimal_data = True
+        submaps = [
+            submaps_from_roman_map(roman_maps[i], submap_params, gt_pose_data[i])
+            for i in range(2)
+        ]
+    else:
+        submaps = precomputed_submaps
+
+    total_t0 = time.time()
+    cfg = sm_params.get_registration_config()
+    results = align_submap_lists(
+        submaps, cfg, sm_params, sm_io, gt_pose_data, mesh=mesh, chunk_size=chunk_size
+    )
+    results.total_time = time.time() - total_t0
+
+    save_submap_align_results(results, submaps, roman_maps)
+    return results
+
+
+def align_submap_lists(submaps, cfg: RegistrationConfig,
+                       sm_params: SubmapAlignParams, sm_io: SubmapAlignInputOutput,
+                       gt_pose_data=[None, None], mesh=None, chunk_size: int = 64,
+                       ) -> SubmapAlignResults:
+    """Core grid alignment on prebuilt submap lists (device part)."""
+    n0, n1 = len(submaps[0]), len(submaps[1])
+    cap = sm_params.submap_max_size
+
+    feats = []
+    auxs = []
+    desc_dim = sm_params.semantics_dim if cfg.feature_flags[4] or cfg.method == "clipper+prune" else 0
+    for k in range(2):
+        f, aux = submaps_to_features(submaps[k], cfg, capacity=cap, desc_dim=desc_dim)
+        feats.append(f)
+        auxs.append(aux)
+
+    # ---- host-side gating (submap_align.py:96-149) ----
+    pos0 = (auxs[0]["positions_gt"] if auxs[0]["positions_gt"] is not None
+            else auxs[0]["positions"])
+    pos1 = (auxs[1]["positions_gt"] if auxs[1]["positions_gt"] is not None
+            else auxs[1]["positions"])
+    dist = np.linalg.norm(pos0[:, None, :] - pos1[None, :, :], axis=-1)
+
+    nearby = np.full((n0, n1), np.nan)
+    for i in range(n0):
+        for j in range(n1):
+            if (
+                not sm_params.force_fill_submaps
+                and sm_params.submap_radius is not None
+                and dist[i, j] < sm_params.submap_radius * 2
+            ) or (
+                (sm_params.force_fill_submaps or sm_params.submap_radius is None)
+                and aabb_intersects(
+                    submaps[0][i].segments_as_global_points,
+                    submaps[1][j].segments_as_global_points,
+                )
+            ):
+                nearby[i, j] = dist[i, j]
+
+    # GT relative pose + yaw difference (submap_align.py:117-129)
+    T_w0 = (auxs[0]["poses_gravity_gt"] if gt_pose_data[0] is not None
+            else auxs[0]["poses_gravity"])
+    T_w1 = (auxs[1]["poses_gravity_gt"] if gt_pose_data[1] is not None
+            else auxs[1]["poses_gravity"])
+    T_ij_mat = np.asarray(
+        jnp.einsum("iab,jbc->ijac", jnp.asarray(np.linalg.inv(T_w0)), jnp.asarray(T_w1))
+    )
+    yaw_diff = np.abs(
+        np.rad2deg(np.asarray(se3.T_to_xyzrpy(jnp.asarray(T_ij_mat)))[..., 5])
+    )
+    submap_yaw_diff_mat = np.where(~np.isnan(nearby), yaw_diff, np.nan)
+
+    # submap descriptor similarity gate (submap_align.py:131-149)
+    if sm_params.submap_descriptor is not None:
+        similarity_mat = np.array(
+            [[Submap.similarity(submaps[0][i], submaps[1][j]) for j in range(n1)]
+             for i in range(n0)]
+        )
+    else:
+        similarity_mat = np.full((n0, n1), np.inf)
+
+    run_mask = (dist <= sm_io.skip_distance) & (
+        similarity_mat >= sm_params.submap_descriptor_thresh
+    )
+    pair_i, pair_j = np.nonzero(run_mask)
+
+    # ---- the batched registration (device) ----
+    registrar = PairGridRegistrar(
+        cfg, single_robot_lc=sm_params.single_robot_lc, chunk_size=chunk_size,
+        mesh=mesh,
+    )
+    t0 = time.time()
+    res = registrar(
+        feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"], pair_i, pair_j
+    )
+    reg_time = time.time() - t0
+    n_solved = max(len(pair_i), 1)
+    timing_list = [reg_time / n_solved] * len(pair_i)
+
+    # ---- host-side post-filters + matrices ----
+    angle_mat = np.full((n0, n1), np.nan)
+    dist_mat = np.full((n0, n1), np.nan)
+    num_assoc = np.full((n0, n1), np.nan)
+    pct_assoc = np.full((n0, n1), np.nan)
+    T_ij_hat_mat = np.full((n0, n1, 4, 4), np.nan)
+    assoc_mat = [[np.zeros((0, 2), np.int64) for _ in range(n1)] for _ in range(n0)]
+
+    # pairs hard-gated by skip_distance (submap_align.py:136-142)
+    skip = dist > sm_io.skip_distance
+    num_assoc[skip] = 0
+    pct_assoc[skip] = 0.0
+
+    # pairs gated by descriptor similarity -> "no match" record
+    desc_gated = (~run_mask) & (~skip)
+    for i, j in zip(*np.nonzero(desc_gated)):
+        theta, d = 180.0, 1e6
+        if not np.isnan(nearby[i, j]):
+            angle_mat[i, j] = theta
+            dist_mat[i, j] = d
+        num_assoc[i, j] = 0
+        denom = np.mean([len(submaps[0][i]), len(submaps[1][j])])
+        pct_assoc[i, j] = 0.0 if denom > 0 else 0.0
+
+    if res is not None and len(pair_i):
+        T_hat = res.T_align.copy()
+        ok = res.ok.copy()
+        rpy = np.asarray(se3.T_to_xyzrpy(jnp.asarray(T_hat)))[:, 3:]
+        if sm_params.dim == 3 and sm_params.force_rm_upside_down:
+            upside_down = (np.abs(rpy[:, 0]) > np.deg2rad(90.0)) | (
+                np.abs(rpy[:, 1]) > np.deg2rad(90.0)
+            )
+            ok = ok & ~upside_down
+        if sm_params.dim == 3 and sm_params.force_rm_lc_roll_pitch:
+            T_hat = np.asarray(se3.transform_rm_roll_pitch(jnp.asarray(T_hat)))
+
+        T_ij_sel = T_ij_mat[pair_i, pair_j]
+        T_err = np.asarray(
+            jnp.einsum("pab,pbc->pac", jnp.asarray(np.linalg.inv(T_hat)), jnp.asarray(T_ij_sel))
+        )
+        theta_all = np.asarray(se3.rotation_magnitude(jnp.asarray(T_err[:, :3, :3])))
+        d_all = np.linalg.norm(T_err[:, : sm_params.dim, 3], axis=-1)
+
+        for k, (i, j) in enumerate(zip(pair_i, pair_j)):
+            if ok[k]:
+                theta, d = float(theta_all[k]), float(d_all[k])
+                T_ij_hat_mat[i, j] = T_hat[k]
+                sel = np.argwhere(np.asarray(res.sel[k]))
+                assoc_mat[i][j] = sel
+                count = int(res.count[k])
+            else:
+                # InsufficientAssociations / GravityConstraint path
+                # (submap_align.py:179-184)
+                theta, d = np.pi, 1e6
+                count = 0
+            if not np.isnan(nearby[i, j]):
+                angle_mat[i, j] = np.abs(np.rad2deg(theta)) if ok[k] else 180.0
+                dist_mat[i, j] = d
+            num_assoc[i, j] = count
+            denom = np.mean([len(submaps[0][i]), len(submaps[1][j])])
+            pct_assoc[i, j] = count / denom if denom > 0 else 0.0
+
+    return SubmapAlignResults(
+        robots_nearby_mat=nearby,
+        clipper_angle_mat=angle_mat,
+        clipper_dist_mat=dist_mat,
+        clipper_num_associations=num_assoc,
+        similarity_mat=similarity_mat if sm_params.submap_descriptor is not None else None,
+        submap_yaw_diff_mat=submap_yaw_diff_mat,
+        associated_objs_mat=assoc_mat,
+        T_ij_mat=T_ij_mat,
+        T_ij_hat_mat=T_ij_hat_mat,
+        timing_list=timing_list,
+        submap_align_params=sm_params,
+        submap_io=sm_io,
+    )

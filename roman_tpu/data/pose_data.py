@@ -1,0 +1,99 @@
+"""Time-indexed pose sequences with interpolation.
+
+Standalone replacement for the robotdatapy.data.pose_data.PoseData
+dependency of the reference (used for GT poses in submap_align.py:41-58,
+LC retiming in combine_loop_closures.py:176-183, and g2o export in
+results.py:154). Supports array, csv (TUM: t x y z qx qy qz qw), and
+yaml-spec construction; pose(t) interpolates (lerp + slerp) between the
+bracketing samples like robotdatapy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from roman_tpu.ops import se3
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class PoseData:
+    times: np.ndarray          # (T,) seconds, strictly increasing
+    poses: np.ndarray          # (T, 4, 4)
+    interp: bool = True
+    time_tol: float = 1.0      # max extrapolation distance in seconds
+    t0_shift: float = 0.0
+
+    def __post_init__(self):
+        self.times = np.asarray(self.times, dtype=np.float64)
+        self.poses = np.asarray(self.poses, dtype=np.float64)
+        order = np.argsort(self.times)
+        self.times = self.times[order]
+        self.poses = self.poses[order]
+
+    @classmethod
+    def from_times_and_poses(cls, times, poses, **kw):
+        return cls(times=np.asarray(times), poses=np.asarray(poses), **kw)
+
+    @classmethod
+    def from_csv(cls, path, time_col=0, cols="xyzqxyzw", delimiter=None, skiprows=0, **kw):
+        """TUM-style csv/txt: t x y z qx qy qz qw (whitespace or comma)."""
+        data = np.loadtxt(path, delimiter=delimiter, skiprows=skiprows, comments="#")
+        t = data[:, time_col]
+        xyz = data[:, 1:4]
+        quat = data[:, 4:8]
+        T = np.asarray(se3.xyz_quat_to_T(jnp.asarray(xyz), jnp.asarray(quat)))
+        return cls(times=t, poses=T, **kw)
+
+    @classmethod
+    def from_yaml_spec(cls, spec: dict, **kw):
+        """Pose data from a yaml dict like the reference's GT pose yaml
+        (submap_align.py:49-58). Supported types: 'csv'."""
+        kind = spec.get("type", "csv")
+        if kind == "csv":
+            return cls.from_csv(spec["path"], **kw)
+        raise ValueError(f"unsupported pose data type {kind!r} (bag ingestion "
+                         "requires ROS, out of scope for this environment)")
+
+    def nearest_time(self, t: float) -> float:
+        return float(self.times[self.idx(t)])
+
+    def idx(self, t: float, force_single: bool = True) -> int:
+        """Index of the sample nearest to t (reference PoseData.idx usage,
+        results.py:182-183)."""
+        return int(np.argmin(np.abs(self.times - (t + self.t0_shift))))
+
+    def pose(self, t):
+        """Interpolated pose at time t (scalar or array)."""
+        t = np.atleast_1d(np.asarray(t, dtype=np.float64)) + self.t0_shift
+        ts = self.times
+        i1 = np.clip(np.searchsorted(ts, t), 1, len(ts) - 1)
+        i0 = i1 - 1
+        denom = np.maximum(ts[i1] - ts[i0], 1e-12)
+        alpha = np.clip((t - ts[i0]) / denom, 0.0, 1.0)
+        if not self.interp:
+            alpha = np.round(alpha)
+        out = np.asarray(
+            se3.interp_T(
+                jnp.asarray(self.poses[i0]), jnp.asarray(self.poses[i1]), jnp.asarray(alpha)
+            )
+        )
+        # tolerance check
+        nearest = np.minimum(np.abs(ts[i0] - t), np.abs(ts[i1] - t))
+        if np.any(nearest > self.time_tol):
+            bad = float(np.max(nearest))
+            raise ValueError(f"pose query {bad:.3f}s outside data (tol {self.time_tol}s)")
+        return out[0] if out.shape[0] == 1 and np.isscalar(t) is False and t.shape == (1,) else out
+
+    @property
+    def t0(self):
+        return float(self.times[0])
+
+    @property
+    def tf(self):
+        return float(self.times[-1])
+
+    def positions(self):
+        return self.poses[:, :3, 3]

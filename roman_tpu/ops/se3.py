@@ -172,25 +172,40 @@ def skew(w: jax.Array) -> jax.Array:
     ).reshape(w.shape[:-1] + (3, 3))
 
 
+def _safe_norm(x, axis=-1, keepdims=True, eps=_EPS):
+    """Norm whose gradient is finite at 0 (sqrt'(0) is inf otherwise)."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, eps))
+
+
 def so3_exp(w: jax.Array) -> jax.Array:
-    """Rodrigues with Taylor fallback near 0."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    theta = theta[..., None]  # (...,1,1)
+    """Rodrigues with Taylor fallback near 0.
+
+    The exact branch uses `small`-guarded ("safe") denominators so that
+    jax.grad/jacfwd through the unselected branch never sees 0/0 — the
+    standard double-where idiom (the rpgo solver differentiates this).
+    """
+    theta = _safe_norm(w)[..., None]  # (...,1,1)
     K = skew(w)
     K2 = K @ K
-    small = theta < 1e-5
-    a = jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(theta) / jnp.maximum(theta, _EPS))
-    b = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta**2, _EPS))
+    small = theta < 1e-2
+    theta_s = jnp.where(small, 1.0, theta)
+    a = jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(theta_s) / theta_s)
+    b = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(theta_s)) / theta_s**2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye + a * K + b * K2
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Inverse Rodrigues; accurate away from pi (fine for residuals)."""
-    theta = rotation_magnitude(R)[..., None, None]
+    """Inverse Rodrigues; accurate away from pi (fine for residuals).
+    Safe-branch denominators for autodiff (see so3_exp)."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(cos_t)[..., None, None]
     W = 0.5 * (R - jnp.swapaxes(R, -1, -2))
-    small = theta < 1e-5
-    scale = jnp.where(small, 1.0 + theta**2 / 6.0, theta / jnp.maximum(jnp.sin(theta), _EPS))
+    small = theta < 1e-2
+    theta_s = jnp.where(small, 1.0, theta)
+    scale = jnp.where(small, 1.0 + theta**2 / 6.0, theta_s / jnp.sin(theta_s))
     V = scale * W
     return jnp.stack([V[..., 2, 1], V[..., 0, 2], V[..., 1, 0]], axis=-1)
 
@@ -198,12 +213,13 @@ def so3_log(R: jax.Array) -> jax.Array:
 def se3_exp(xi: jax.Array) -> jax.Array:
     """xi = (...,6) [rho(3), w(3)] -> (...,4,4)."""
     rho, w = xi[..., :3], xi[..., 3:]
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    theta = _safe_norm(w)[..., None]
     K = skew(w)
     K2 = K @ K
-    small = theta < 1e-5
-    b = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta**2, _EPS))
-    c = jnp.where(small, 1.0 / 6.0 - theta**2 / 120.0, (theta - jnp.sin(theta)) / jnp.maximum(theta**3, _EPS))
+    small = theta < 1e-2
+    theta_s = jnp.where(small, 1.0, theta)
+    b = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(theta_s)) / theta_s**2)
+    c = jnp.where(small, 1.0 / 6.0 - theta**2 / 120.0, (theta_s - jnp.sin(theta_s)) / theta_s**3)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
     V = eye + b * K + c * K2
     R = so3_exp(w)
@@ -213,16 +229,17 @@ def se3_exp(xi: jax.Array) -> jax.Array:
 
 def se3_log(T: jax.Array) -> jax.Array:
     w = so3_log(T[..., :3, :3])
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    theta = _safe_norm(w)[..., None]
     K = skew(w)
     K2 = K @ K
-    small = theta < 1e-5
+    small = theta < 1e-2
+    theta_s = jnp.where(small, 1.0, theta)
     # V^{-1} = I - K/2 + (1/theta^2)(1 - theta sin / (2(1-cos))) K^2
     coef = jnp.where(
         small,
         1.0 / 12.0 + theta**2 / 720.0,
-        (1.0 - theta * jnp.sin(theta) / jnp.maximum(2.0 * (1.0 - jnp.cos(theta)), _EPS))
-        / jnp.maximum(theta**2, _EPS),
+        (1.0 - theta_s * jnp.sin(theta_s) / (2.0 * (1.0 - jnp.cos(theta_s))))
+        / theta_s**2,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
     Vinv = eye - 0.5 * K + coef * K2

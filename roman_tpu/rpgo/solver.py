@@ -1,0 +1,404 @@
+"""TPU-native robust pose-graph optimization.
+
+Replaces the reference's Kimera-RPGO C++ subprocess (RpgoReadG2o, invoked
+at demo/demo.py:246-250 as a black-box g2o -> result.g2o transform) with a
+JAX implementation of the same robust-PGO recipe:
+
+1. **PCM gating** (Mangelson et al., pairwise consistency maximization —
+   Kimera-RPGO's loop-closure outlier front-end): loop closures are checked
+   pairwise for consistency against odometry, and the maximum consistent
+   subset is found with the same projected-power-iteration densest-clique
+   machinery as the alignment engine (dense constraint variant).
+2. **GNC-TLS** (Yang et al., RA-L 2020 — Kimera-RPGO's robust back-end):
+   truncated-least-squares weights on loop closures, graduated from a
+   convex surrogate via the control parameter mu.
+3. **Gauss-Newton on SE(3)** with exact per-edge Jacobians from autodiff
+   (jacfwd over right-perturbations) and a preconditioned-CG linear solve
+   whose matvec is edge-gather/segment-scatter — fully static-shape and
+   jit-compiled, so the whole solve is one XLA program.
+
+Initialization is by spanning-tree composition of measurements (BFS from
+the first vertex), which also stitches the per-robot odometry frames
+together through the gated loop closures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roman_tpu.ops import se3
+from roman_tpu.rpgo.g2o_io import G2OEdge, G2OGraph, is_loop_closure
+
+
+@dataclasses.dataclass
+class RPGOSolverParams:
+    gnc_iters: int = 8
+    gn_iters: int = 6
+    cg_iters: int = 100
+    gnc_barc2: float = 1.0          # TLS inlier threshold on chi2 (scaled resid)
+    gnc_mu_update: float = 1.4
+    pcm_gate: bool = True
+    pcm_thresh: float = 25.0        # chi2-ish consistency threshold
+    damping: float = 1e-6
+    gauge_weight: float = 1e6
+
+
+# ---------------------------------------------------------------------------
+# graph -> arrays
+# ---------------------------------------------------------------------------
+
+def graph_to_arrays(graph: G2OGraph):
+    keys = sorted(graph.vertices.keys())
+    key_to_idx = {k: i for i, k in enumerate(keys)}
+    V = len(keys)
+    xq = np.stack([graph.vertices[k] for k in keys])
+    T0 = np.asarray(se3.xyz_quat_to_T(jnp.asarray(xq[:, :3]), jnp.asarray(xq[:, 3:])))
+    ii = np.array([key_to_idx[e.v1] for e in graph.edges], np.int32)
+    jj = np.array([key_to_idx[e.v2] for e in graph.edges], np.int32)
+    Tm = np.stack([e.T for e in graph.edges])
+    info = np.stack([e.info for e in graph.edges])
+    lc = np.array([is_loop_closure(e) for e in graph.edges], bool)
+    return keys, key_to_idx, T0, ii, jj, Tm, info, lc
+
+
+def spanning_tree_init(V: int, ii, jj, Tm, use_edge: np.ndarray) -> np.ndarray:
+    """BFS spanning-tree composition of measurements from vertex 0.
+
+    Stitches per-robot odometry frames together through accepted loop
+    closures (the fused g2o's VERTEX initials keep each robot in its own
+    odom frame). Unreached components are left at their file initials'
+    offset relative to their component root.
+    """
+    adj: List[List[Tuple[int, int, bool]]] = [[] for _ in range(V)]
+    for e, (a, b) in enumerate(zip(ii, jj)):
+        if not use_edge[e]:
+            continue
+        adj[a].append((b, e, False))
+        adj[b].append((a, e, True))
+
+    T = np.tile(np.eye(4), (V, 1, 1))
+    visited = np.zeros(V, bool)
+    for root in range(V):
+        if visited[root]:
+            continue
+        visited[root] = True
+        stack = [root]
+        while stack:
+            u = stack.pop()
+            for v, e, inv in adj[u]:
+                if visited[v]:
+                    continue
+                visited[v] = True
+                M = np.linalg.inv(Tm[e]) if inv else Tm[e]
+                T[v] = T[u] @ M
+                stack.append(v)
+    return T
+
+
+# ---------------------------------------------------------------------------
+# PCM loop-closure gating
+# ---------------------------------------------------------------------------
+
+def pcm_gate(T_init: np.ndarray, ii, jj, Tm, info, lc_mask: np.ndarray,
+             thresh: float) -> np.ndarray:
+    """Pairwise consistency maximization over loop closures.
+
+    Two LCs (i1,j1,T1), (i2,j2,T2) are consistent if the cycle
+    odom(i2->i1) . T1 . odom(j1->j2) . T2^-1 is near identity, with
+    odometry segments taken from the (odometry-only) initial poses. The
+    maximum consistent set is the densest clique of the binary consistency
+    graph, solved with projected power iteration + greedy rounding.
+    Returns a keep-mask over ALL edges (odometry always kept).
+    """
+    lc_idx = np.flatnonzero(lc_mask)
+    if len(lc_idx) == 0:
+        return np.ones(len(ii), bool)
+    keep = np.ones(len(ii), bool)
+
+    # group LCs by (robot_i, robot_j) pair — PCM operates per robot pair;
+    # robot identity = vertex-key high byte order is lost here, so group by
+    # the connected component structure instead: robots were stitched per
+    # letter upstream, and within graph_to_arrays vertex order is by key,
+    # so robot boundaries are where ii/jj cross odometry chains. The caller
+    # passes odometry-only T_init, which is per-robot consistent.
+    # Here grouping uses (component of i, component of j) from odometry.
+    comp = _odometry_components(len(T_init), ii, jj, lc_mask)
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for e in lc_idx:
+        groups.setdefault((comp[ii[e]], comp[jj[e]]), []).append(int(e))
+
+    for _, es in groups.items():
+        es = np.asarray(es)
+        n = len(es)
+        # per-LC estimate of the (unknown, shared) frame offset between the
+        # two components: T_ab(e) = T_a_i(e) @ T_lc(e) @ inv(T_b_j(e)).
+        # consistent inlier LCs agree on T_ab up to noise + odometry drift.
+        T_ab = np.einsum(
+            "eab,ebc,ecd->ead",
+            T_init[ii[es]], Tm[es], np.linalg.inv(T_init[jj[es]]),
+        )
+        D = np.einsum("eab,fbc->efac", np.linalg.inv(T_ab), T_ab)
+        d_log = np.asarray(se3.se3_log(jnp.asarray(D)))  # (n, n, 6)
+        w = np.array([1.0, 1.0, 1.0, 10.0, 10.0, 10.0])
+        chi2 = np.sum((d_log * w) ** 2, axis=-1)
+        C = chi2 < thresh
+        np.fill_diagonal(C, True)
+
+        # densest consistent subset: projected power iteration on M = C with
+        # dense complement penalty + greedy feasible rounding (same solver
+        # family as roman_tpu.align.clipper, dense-constraint variant)
+        M = C.astype(np.float32)
+        Cb = 1.0 - M
+        np.fill_diagonal(Cb, 0.0)
+        u = np.ones(n, np.float32) / np.sqrt(n)
+        d = 0.0
+        for _ in range(8):
+            for _ in range(10):
+                g = M @ u - d * (Cb @ u)
+                u = np.maximum(g, 0.0)
+                nn = np.linalg.norm(u)
+                u = u / nn if nn > 1e-12 else np.ones(n, np.float32) / np.sqrt(n)
+            Cbu = Cb @ u
+            viol = (u > 1e-6) & (Cbu > 1e-6)
+            if viol.any():
+                d += float(np.sum((M @ u)[viol]) / max(np.sum(Cbu[viol]), 1e-9)) + 1e-3
+        order = np.argsort(-u)
+        chosen: List[int] = []
+        for k in order:
+            if u[k] <= 1e-6:
+                break
+            if all(C[k, c] for c in chosen):
+                chosen.append(k)
+        rejected = set(es.tolist()) - {int(es[c]) for c in chosen}
+        for e in rejected:
+            keep[e] = False
+    return keep
+
+
+def _odometry_components(V: int, ii, jj, lc_mask) -> np.ndarray:
+    """Connected components over odometry edges only (per-robot chains)."""
+    parent = np.arange(V)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in np.flatnonzero(~lc_mask):
+        a, b = find(ii[e]), find(jj[e])
+        if a != b:
+            parent[a] = b
+    return np.array([find(v) for v in range(V)])
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton + GNC core (jitted)
+# ---------------------------------------------------------------------------
+
+def _edge_residual(Ti, Tj, Tm_inv):
+    """r = log( Tm^-1 · Ti^-1 · Tj ) in R^6."""
+    return se3.se3_log(Tm_inv @ se3.inv_T(Ti) @ Tj)
+
+
+def _edge_residual_perturbed(xi_i, xi_j, Ti, Tj, Tm_inv):
+    return _edge_residual(Ti @ se3.se3_exp(xi_i), Tj @ se3.se3_exp(xi_j), Tm_inv)
+
+
+_jac_fn = jax.vmap(
+    jax.jacfwd(_edge_residual_perturbed, argnums=(0, 1)),
+    in_axes=(0, 0, 0, 0, 0),
+)
+
+
+def _build_gn_step(V: int, cg_iters: int, damping: float, gauge_weight: float):
+    def gn_step(T, ii, jj, Tm_inv, info, w_edge):
+        zero = jnp.zeros((ii.shape[0], 6), jnp.float32)
+        Ji, Jj = _jac_fn(zero, zero, T[ii], T[jj], Tm_inv)  # (E,6,6) each
+        r = jax.vmap(_edge_residual)(T[ii], T[jj], Tm_inv)  # (E,6)
+        W = info * w_edge[:, None, None]  # (E,6,6)
+
+        def A_matvec(x):
+            # x: (V,6) -> H x
+            yi = jnp.einsum("eab,eb->ea", Ji, x[ii])
+            yj = jnp.einsum("eab,eb->ea", Jj, x[jj])
+            y = yi + yj
+            z = jnp.einsum("eab,eb->ea", W, y)
+            out = jnp.zeros((V, 6), jnp.float32)
+            out = out.at[ii].add(jnp.einsum("eba,eb->ea", Ji, z))
+            out = out.at[jj].add(jnp.einsum("eba,eb->ea", Jj, z))
+            # gauge prior on vertex 0 + damping
+            out = out.at[0].add(gauge_weight * x[0])
+            return out + damping * x
+
+        # gradient: g = J^T W r
+        z = jnp.einsum("eab,eb->ea", W, r)
+        g = jnp.zeros((V, 6), jnp.float32)
+        g = g.at[ii].add(jnp.einsum("eba,eb->ea", Ji, z))
+        g = g.at[jj].add(jnp.einsum("eba,eb->ea", Jj, z))
+
+        # block-Jacobi preconditioner
+        Hi = jnp.einsum("eba,ebc,ecd->ead", Ji, W, Ji)
+        Hj = jnp.einsum("eba,ebc,ecd->ead", Jj, W, Jj)
+        blocks = jnp.zeros((V, 6, 6), jnp.float32)
+        blocks = blocks.at[ii].add(Hi)
+        blocks = blocks.at[jj].add(Hj)
+        blocks = blocks + (damping + 1e-6) * jnp.eye(6)
+        blocks = blocks.at[0].add(gauge_weight * jnp.eye(6))
+        blocks_inv = jnp.linalg.inv(blocks)
+
+        def M_inv(x):
+            return jnp.einsum("vab,vb->va", blocks_inv, x)
+
+        # PCG for A dx = -g
+        def dot(a, b):
+            return jnp.sum(a * b)
+
+        x0 = jnp.zeros((V, 6), jnp.float32)
+        r0 = -g - A_matvec(x0)
+        z0 = M_inv(r0)
+        p0 = z0
+
+        def cg_body(carry, _):
+            x, rr, z, p = carry
+            Ap = A_matvec(p)
+            denom = dot(p, Ap)
+            alpha = jnp.where(jnp.abs(denom) > 1e-20, dot(rr, z) / denom, 0.0)
+            x2 = x + alpha * p
+            r2 = rr - alpha * Ap
+            z2 = M_inv(r2)
+            beta_den = dot(rr, z)
+            beta = jnp.where(jnp.abs(beta_den) > 1e-20, dot(r2, z2) / beta_den, 0.0)
+            p2 = z2 + beta * p
+            return (x2, r2, z2, p2), None
+
+        (dx, _, _, _), _ = jax.lax.scan(cg_body, (x0, r0, z0, p0), None, length=cg_iters)
+
+        T_new = T @ se3.se3_exp(dx)
+        # per-edge chi2 residuals after the step (for GNC)
+        r_new = jax.vmap(_edge_residual)(T_new[ii], T_new[jj], Tm_inv)
+        chi2 = jnp.einsum("ea,eab,eb->e", r_new, info, r_new)
+        return T_new, chi2
+
+    return gn_step
+
+
+def solve_arrays(
+    T_init: np.ndarray,
+    ii: np.ndarray,
+    jj: np.ndarray,
+    Tm: np.ndarray,
+    info: np.ndarray,
+    lc_mask: np.ndarray,
+    params: RPGOSolverParams = RPGOSolverParams(),
+):
+    """Robust solve on array form. Returns (T_opt (V,4,4), lc_weights (E,))."""
+    V = len(T_init)
+    E = len(ii)
+    gn_step = _build_gn_step(V, params.cg_iters, params.damping, params.gauge_weight)
+
+    Tm_inv = np.linalg.inv(Tm)
+    T = jnp.asarray(T_init, jnp.float32)
+    ii_j = jnp.asarray(ii)
+    jj_j = jnp.asarray(jj)
+    Tmi_j = jnp.asarray(Tm_inv, jnp.float32)
+    info_j = jnp.asarray(info, jnp.float32)
+    lc_j = jnp.asarray(lc_mask)
+
+    barc2 = params.gnc_barc2
+
+    @jax.jit
+    def run(T):
+        w = jnp.ones((E,), jnp.float32)
+
+        # initial GN pass at unit weights
+        def gn_loop(T, w, n):
+            def body(T, _):
+                T, chi2 = gn_step(T, ii_j, jj_j, Tmi_j, info_j, w)
+                return T, chi2
+            T, chi2s = jax.lax.scan(body, T, None, length=n)
+            return T, chi2s[-1]
+
+        T, chi2 = gn_loop(T, w, params.gn_iters)
+
+        # GNC-TLS on loop closures
+        r2max = jnp.max(jnp.where(lc_j, chi2, 0.0))
+        mu = barc2 / jnp.maximum(2.0 * r2max - barc2, 1e-6)
+
+        def gnc_body(carry, _):
+            T, mu = carry
+            # TLS weight update (Yang et al. eq. 14)
+            _, chi2 = gn_step(T, ii_j, jj_j, Tmi_j, info_j, jnp.ones((E,), jnp.float32))
+            up = (mu + 1.0) / mu * barc2
+            lo = mu / (mu + 1.0) * barc2
+            w_lc = jnp.where(
+                chi2 >= up,
+                0.0,
+                jnp.where(
+                    chi2 <= lo,
+                    1.0,
+                    jnp.sqrt(barc2 * mu * (mu + 1.0) / jnp.maximum(chi2, 1e-12)) - mu,
+                ),
+            )
+            w = jnp.where(lc_j, jnp.clip(w_lc, 0.0, 1.0), 1.0)
+            T, _ = gn_loop(T, w, params.gn_iters)
+            mu = mu * params.gnc_mu_update
+            return (T, mu), w
+
+        (T, _), ws = jax.lax.scan(gnc_body, (T, mu), None, length=params.gnc_iters)
+        return T, ws[-1]
+
+    T_opt, w_final = run(T)
+    return np.asarray(T_opt), np.asarray(w_final)
+
+
+def solve_pose_graph(
+    graph: G2OGraph, params: RPGOSolverParams = RPGOSolverParams()
+) -> Tuple[G2OGraph, Dict]:
+    """g2o graph -> optimized g2o graph (the RpgoReadG2o contract)."""
+    keys, key_to_idx, T_file, ii, jj, Tm, info, lc = graph_to_arrays(graph)
+    V = len(keys)
+
+    # PCM gating of loop closures against odometry-only structure
+    if params.pcm_gate and lc.any():
+        T_odom = spanning_tree_init(V, ii, jj, Tm, ~lc)
+        keep = pcm_gate(T_odom, ii, jj, Tm, info, lc, params.pcm_thresh)
+    else:
+        keep = np.ones(len(ii), bool)
+
+    T_init = spanning_tree_init(V, ii, jj, Tm, keep)
+    use = keep  # rejected LCs removed entirely (Kimera-RPGO PCM behavior)
+    T_opt, w = solve_arrays(
+        T_init, ii[use], jj[use], Tm[use], info[use], lc[use], params
+    )
+
+    t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(T_opt)))
+    vertices = {k: np.concatenate([t[i], q[i]]) for i, k in enumerate(keys)}
+    out = G2OGraph(vertices=vertices, edges=graph.edges)
+    diag = dict(
+        n_lc=int(lc.sum()),
+        n_lc_pcm_rejected=int((~keep & lc).sum()),
+        n_lc_gnc_rejected=int((w[lc[use]] < 0.5).sum()) if use.any() else 0,
+    )
+    return out, diag
+
+
+def rpgo_solve_g2o(input_g2o: str, output_dir: str,
+                   params: RPGOSolverParams = RPGOSolverParams()) -> str:
+    """File-level contract of the RpgoReadG2o subprocess
+    (demo/demo.py:246-250): reads <input>.g2o, writes <output_dir>/result.g2o."""
+    import os
+
+    from roman_tpu.rpgo.g2o_io import parse_g2o, write_g2o
+
+    graph = parse_g2o(input_g2o)
+    out, diag = solve_pose_graph(graph, params)
+    result = os.path.join(output_dir, "result.g2o")
+    write_g2o(out, result)
+    print(f"rpgo: {len(out.vertices)} vertices, {len(out.edges)} edges, {diag}")
+    return result

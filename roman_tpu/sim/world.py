@@ -158,6 +158,46 @@ class RobotRun:
     seg_world_id: np.ndarray   # (K,) ground-truth world object id
 
 
+def roman_map_from_run(run: "RobotRun"):
+    """Convert a simulated RobotRun into a RomanMap artifact (the mapping
+    stage's output format, map.py:18-41)."""
+    from roman_tpu.map.roman_map import RomanMap, SegmentData
+
+    segments = [
+        SegmentData(
+            id=int(i),
+            center=run.seg_centers[i],
+            volume=float(run.seg_volume[i]),
+            linearity=float(run.seg_pca[i, 0]),
+            planarity=float(run.seg_pca[i, 1]),
+            scattering=float(run.seg_pca[i, 2]),
+            extent=run.seg_extent[i],
+            semantic_descriptor=run.seg_desc[i],
+            first_seen=float(run.seg_first_seen[i]),
+            last_seen=float(run.seg_last_seen[i]),
+        )
+        for i in range(len(run.seg_centers))
+    ]
+    return RomanMap(
+        segments=segments,
+        trajectory=run.odom_poses,
+        times=run.times,
+        descriptors=None,
+        poses_are_flu=True,
+    )
+
+
+def write_gt_csv(run: "RobotRun", path: str):
+    """TUM-format ground truth trajectory file."""
+    import jax.numpy as jnp
+
+    from roman_tpu.ops import se3
+
+    t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(run.poses)))
+    data = np.concatenate([run.times[:, None], t, q], axis=1)
+    np.savetxt(path, data)
+
+
 def make_multi_robot_world(
     rng,
     n_robots: int = 2,

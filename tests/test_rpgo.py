@@ -1,0 +1,135 @@
+import numpy as np
+import pytest
+
+from roman_tpu.rpgo import g2o_io
+from roman_tpu.rpgo.g2o_io import G2OEdge, G2OGraph, symbol
+from roman_tpu.rpgo.solver import RPGOSolverParams, solve_pose_graph
+from roman_tpu.rpgo.evaluate import ate_rmse
+from roman_tpu.data.pose_data import PoseData
+from roman_tpu.sim.world import yaw_T
+from roman_tpu.ops import se3
+import jax.numpy as jnp
+
+
+def make_two_robot_graph(rng, n=60, drift=0.02, n_lc=15, n_outliers=0):
+    """Two circular trajectories with drifted odometry and cross-robot LCs."""
+    I_odom = g2o_io.information_matrix(0.1, np.deg2rad(0.5))
+    I_lc = g2o_io.information_matrix(1.0, np.deg2rad(2.0))
+    gt = {}
+    vertices = {}
+    edges = []
+    for r, letter in enumerate("ab"):
+        # ground truth: circle
+        center = np.array([0.0, 0.0]) + r * np.array([5.0, 2.0])
+        poses = []
+        for k in range(n):
+            ang = 2 * np.pi * k / n
+            pos = np.array([center[0] + 20 * np.cos(ang), center[1] + 20 * np.sin(ang), 0.5 * r])
+            poses.append(yaw_T(ang + np.pi / 2, pos))
+        poses = np.stack(poses)
+        gt[letter] = poses
+        # drifted odometry chain
+        odom = [poses[0]]
+        for k in range(1, n):
+            rel = np.linalg.inv(poses[k - 1]) @ poses[k]
+            noise = yaw_T(rng.normal() * drift * 0.2, rng.normal(size=3) * drift)
+            odom.append(odom[-1] @ rel @ noise)
+        odom = np.stack(odom)
+        for k in range(n):
+            t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(odom[k])))
+            vertices[symbol(letter, k)] = np.concatenate([t, q])
+        for k in range(n - 1):
+            rel = np.linalg.inv(odom[k]) @ odom[k + 1]
+            t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(rel)))
+            edges.append(G2OEdge(symbol(letter, k), symbol(letter, k + 1),
+                                 np.concatenate([t, q]),
+                                 g2o_io.info_upper_from_matrix(I_odom)))
+    # cross-robot loop closures from GT (small noise)
+    ks = rng.choice(n, size=n_lc, replace=False)
+    for k in ks:
+        T = np.linalg.inv(gt["a"][k]) @ gt["b"][k]
+        T = T @ yaw_T(rng.normal() * 0.01, rng.normal(size=3) * 0.05)
+        t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(T)))
+        edges.append(G2OEdge(symbol("a", int(k)), symbol("b", int(k)),
+                             np.concatenate([t, q]),
+                             g2o_io.info_upper_from_matrix(I_lc), lc_count=8))
+    # outlier LCs
+    for _ in range(n_outliers):
+        i, j = rng.integers(0, n, 2)
+        T = yaw_T(rng.uniform(-np.pi, np.pi), rng.uniform(-30, 30, 3))
+        t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(T)))
+        edges.append(G2OEdge(symbol("a", int(i)), symbol("b", int(j)),
+                             np.concatenate([t, q]),
+                             g2o_io.info_upper_from_matrix(I_lc), lc_count=8))
+    return G2OGraph(vertices=vertices, edges=edges), gt
+
+
+def graph_ate(graph, gt):
+    errs = []
+    for letter in "ab":
+        est = []
+        ref = []
+        for k in range(len(gt[letter])):
+            est.append(graph.vertex_T(symbol(letter, k))[:3, 3])
+            ref.append(gt[letter][k][:3, 3])
+        errs.append((np.stack(est), np.stack(ref)))
+    p_est = np.concatenate([e for e, _ in errs])
+    p_ref = np.concatenate([r for _, r in errs])
+    from roman_tpu.ops.arun import umeyama_alignment
+    import jax.numpy as jnp
+    R, t, _ = umeyama_alignment(jnp.asarray(p_est), jnp.asarray(p_ref))
+    p_al = p_est @ np.asarray(R).T + np.asarray(t)
+    return float(np.sqrt(np.mean(np.sum((p_al - p_ref) ** 2, axis=1))))
+
+
+def test_g2o_roundtrip(tmp_path, rng):
+    graph, _ = make_two_robot_graph(np.random.default_rng(0), n=10, n_lc=3)
+    path = str(tmp_path / "g.g2o")
+    g2o_io.write_g2o(graph, path)
+    g2 = g2o_io.parse_g2o(path)
+    assert set(g2.vertices) == set(graph.vertices)
+    assert len(g2.edges) == len(graph.edges)
+    np.testing.assert_allclose(g2.edges[0].xyz_quat, graph.edges[0].xyz_quat)
+    np.testing.assert_allclose(g2.edges[-1].info, graph.edges[-1].info)
+    assert g2.edges[-1].lc_count == 8
+
+
+def test_symbols():
+    k = symbol("b", 42)
+    assert g2o_io.symbol_chr(k) == "b"
+    assert g2o_io.symbol_index(k) == 42
+
+
+def test_pgo_inliers_only():
+    rng = np.random.default_rng(1)
+    graph, gt = make_two_robot_graph(rng, n=50, drift=0.05, n_lc=12, n_outliers=0)
+    before = graph_ate(graph, gt)  # odometry frames misaligned + drift
+    out, diag = solve_pose_graph(graph, RPGOSolverParams(pcm_gate=False))
+    after = graph_ate(out, gt)
+    assert after < 0.5, (before, after)
+    assert after < before
+
+
+def test_pgo_rejects_outliers():
+    rng = np.random.default_rng(2)
+    graph, gt = make_two_robot_graph(rng, n=50, drift=0.05, n_lc=12, n_outliers=6)
+    out, diag = solve_pose_graph(graph, RPGOSolverParams())
+    after = graph_ate(out, gt)
+    assert diag["n_lc_pcm_rejected"] + diag["n_lc_gnc_rejected"] >= 5, diag
+    assert after < 0.7, (after, diag)
+
+
+def test_edit_information():
+    graph, _ = make_two_robot_graph(np.random.default_rng(3), n=8, n_lc=2)
+    lines = []
+    for k, xq in graph.vertices.items():
+        lines.append(g2o_io.format_vertex(k, xq))
+    for e in graph.edges:
+        lines.append(g2o_io.format_edge(e.v1, e.v2, e.xyz_quat, e.info_upper))
+    out = g2o_io.edit_g2o_edge_information(lines, 2.0, 0.1, loop_closures=True)
+    g2 = g2o_io.parse_g2o(out)
+    for e in g2.edges:
+        if g2o_io.is_loop_closure(e):
+            np.testing.assert_allclose(e.info, g2o_io.information_matrix(2.0, 0.1))
+        else:
+            np.testing.assert_allclose(e.info, g2o_io.information_matrix(0.1, np.deg2rad(0.5)))

@@ -1,0 +1,123 @@
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from roman_tpu.params.submap_align_params import SubmapAlignParams, SubmapAlignInputOutput
+from roman_tpu.align.submap_align import submap_align
+from roman_tpu.sim import world
+from roman_tpu.map.roman_map import submaps_from_roman_map, SubmapParams
+
+
+@pytest.fixture(scope="module")
+def sim_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("align")
+    rng = np.random.default_rng(42)
+    _, runs = world.make_multi_robot_world(
+        rng, n_robots=2, n_objects=500, area=(80.0, 80.0, 4.0), traj_len=150.0,
+        desc_dim=32, odom_drift_per_m=0.005,
+    )
+    maps = [world.roman_map_from_run(r) for r in runs]
+    gt_files = []
+    for k, r in enumerate(runs):
+        maps[k].save(str(tmp / f"robot{k}.pkl"))
+        csv = str(tmp / f"gt{k}.csv")
+        world.write_gt_csv(r, csv)
+        gt_yaml = str(tmp / f"gt{k}.yaml")
+        with open(gt_yaml, "w") as f:
+            yaml.dump({"type": "csv", "path": csv}, f)
+        gt_files.append(gt_yaml)
+    return tmp, runs, maps, gt_files
+
+
+def test_submap_align_end_to_end(sim_setup):
+    tmp, runs, maps, gt_files = sim_setup
+    sm_params = SubmapAlignParams(
+        method="roman", semantics_dim=32, submap_max_size=30,
+        cosine_min=0.5, cosine_max=0.9,
+    )
+    out_dir = str(tmp / "out")
+    sm_io = SubmapAlignInputOutput(
+        inputs=[str(tmp / "robot0.pkl"), str(tmp / "robot1.pkl")],
+        output_dir=out_dir,
+        run_name="align",
+        input_gt_pose_yaml=gt_files,
+        robot_names=["robot0", "robot1"],
+    )
+    results = submap_align(sm_params, sm_io, chunk_size=32)
+
+    n0, n1 = results.clipper_num_associations.shape
+    assert n0 > 3 and n1 > 3
+
+    # loop closures must be found where robots were actually nearby
+    accepted = results.clipper_num_associations >= sm_io.lc_association_thresh
+    nearby = ~np.isnan(results.robots_nearby_mat)
+    assert accepted.sum() > 0, "no loop closures found in overlapping world"
+
+    # precision: accepted LCs should have small translation error vs GT
+    errs = results.clipper_dist_mat[accepted & nearby]
+    errs = errs[~np.isnan(errs)]
+    assert len(errs) > 0
+    good = (errs < 3.0).mean()
+    assert good >= 0.7, f"LC precision too low: {good} (errors {errs})"
+
+    # artifacts written (results.py:122-246 parity)
+    for path in [
+        sm_io.output_img, sm_io.output_matrix, sm_io.output_pkl,
+        sm_io.output_timing, sm_io.output_params, sm_io.output_g2o,
+        sm_io.output_lc_json,
+    ] + sm_io.output_submaps:
+        assert os.path.exists(path), path
+
+    # g2o format check
+    with open(sm_io.output_g2o) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    lc_lines = [ln for ln in lines if ln.startswith("# LC:")]
+    edge_lines = [ln for ln in lines if ln.startswith("EDGE_SE3:QUAT")]
+    assert len(lc_lines) == len(edge_lines) == int(accepted.sum() - (
+        np.isnan(results.T_ij_hat_mat[accepted]).any(axis=(1, 2)).sum()))
+    parts = edge_lines[0].split()
+    assert parts[1].startswith("a") and parts[2].startswith("b")
+    assert len(parts) == 31  # EDGE_SE3:QUAT id id xyz quat + 21 info entries
+
+    with open(sm_io.output_lc_json) as f:
+        lcs = json.load(f)
+    assert len(lcs) == len(edge_lines)
+    assert lcs[0]["rotation_convention"] == "xyzw"
+
+    # submap json round-trip via the segment-slam loader
+    from roman_tpu.map.roman_map import load_segment_slam_submaps
+
+    sms = load_segment_slam_submaps(sm_io.output_submaps[0], robot_name="robot0")
+    assert len(sms) > 0 and len(sms[0].segments) > 0
+
+
+def test_submap_partition_semantics(sim_setup):
+    tmp, runs, maps, gt_files = sim_setup
+    params = SubmapParams(max_size=25, radius=15.0, distance=10.0)
+    submaps = submaps_from_roman_map(maps[0], params)
+    assert len(submaps) >= 2
+    for sm in submaps:
+        assert 0 < len(sm.segments) <= 25
+        # segments expressed in the gravity-aligned center frame: centers
+        # should be within radius of origin (xy)
+        c = np.stack([np.asarray(s.center).reshape(3) for s in sm.segments])
+        assert np.all(np.linalg.norm(c[:, :2], axis=1) < 15.0 + 3.0)
+    # successive submap centers are >= `distance` apart (except time-trigger)
+    pos = np.stack([sm.pose_flu[:3, 3] for sm in submaps])
+    gaps = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+    assert np.all(gaps > 5.0)
+
+
+def test_force_fill_partition(sim_setup):
+    tmp, runs, maps, gt_files = sim_setup
+    params = SubmapParams(max_size=20, overlap=10, force_fill_submaps=True)
+    submaps = submaps_from_roman_map(maps[0], params)
+    assert len(submaps) >= 2
+    assert all(len(sm) <= 20 for sm in submaps)
+    # consecutive submaps share segments (overlap)
+    ids0 = {s.id for s in submaps[0].segments}
+    ids1 = {s.id for s in submaps[1].segments}
+    assert ids0 & ids1
