@@ -1,0 +1,216 @@
+"""North-star benchmark: all-pairs submap registration throughput.
+
+The reference's hot loop runs one C++/CPU CLIPPER solve per submap pair,
+serially (reference roman/align/submap_align.py:93-201; per-pair timing
+written to align.timing.txt). This benchmark measures our batched TPU
+engine on a realistic workload — 40-object submaps with 768-d semantic
+descriptors over a full 2-robot pair grid — against a serial
+reference-equivalent CPU implementation (same invariant math, same
+iteration counts, vectorized numpy per pair, which is level with or
+faster than the per-pair Eigen C++ it stands in for).
+
+Prints ONE json line:
+  {"metric": "submap_align_pairs_per_sec", "value": ..., "unit": "pairs/s",
+   "vs_baseline": ...}
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+# persistent XLA compilation cache: first bench run pays ~3-5 min of
+# compile for the chunked registration program; subsequent runs reuse it
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/roman_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+def build_workload(seed=0, n_objects=1000, traj_len=240.0, desc_dim=768,
+                   max_size=40):
+    from roman_tpu.sim import world
+    from roman_tpu.map.roman_map import SubmapParams, submaps_from_roman_map
+    from roman_tpu.map.roman_map import submaps_to_features
+    from roman_tpu.align.registration import RegistrationConfig
+
+    rng = np.random.default_rng(seed)
+    _, runs = world.make_multi_robot_world(
+        rng, n_robots=2, n_objects=n_objects, area=(100.0, 100.0, 4.0),
+        traj_len=traj_len, desc_dim=desc_dim,
+    )
+    maps = [world.roman_map_from_run(r) for r in runs]
+    params = SubmapParams(max_size=max_size, radius=15.0, distance=10.0)
+    submaps = [submaps_from_roman_map(m, params) for m in maps]
+    cfg = RegistrationConfig(method="roman", cos_min=0.5, cos_max=0.9)
+    feats, auxs = zip(*[
+        submaps_to_features(sm, cfg, capacity=max_size, desc_dim=desc_dim)
+        for sm in submaps
+    ])
+    return submaps, feats, auxs, cfg
+
+
+def run_tpu(feats, auxs, cfg, chunk_size=32, repeats=2):
+    import jax
+
+    from roman_tpu.align.submap_align import PairGridRegistrar
+
+    n0 = feats[0].centers.shape[0]
+    n1 = feats[1].centers.shape[0]
+    pair_i, pair_j = np.meshgrid(np.arange(n0), np.arange(n1), indexing="ij")
+    pair_i = pair_i.reshape(-1)
+    pair_j = pair_j.reshape(-1)
+    P = len(pair_i)
+
+    registrar = PairGridRegistrar(cfg, chunk_size=chunk_size)
+    # warmup / compile
+    registrar(feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"],
+              pair_i[:chunk_size], pair_j[:chunk_size])
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        res = registrar(feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"],
+                        pair_i, pair_j)
+    dt = (time.perf_counter() - t0) / repeats
+    return P, P / dt, res
+
+
+# ---------------------------------------------------------------------------
+# serial CPU reference-equivalent (stands in for per-pair C++ CLIPPER)
+# ---------------------------------------------------------------------------
+
+def _np_affinity(c1, r1, d1, c2, r2, d2, sigma, eps, mindist, cmin, cmax):
+    n, m = len(c1), len(c2)
+    D1 = np.linalg.norm(c1[:, None] - c1[None], axis=-1)
+    D2 = np.linalg.norm(c2[:, None] - c2[None], axis=-1)
+    dz1 = np.abs(c1[:, None, 2] - c1[None, :, 2])
+    dz2 = np.abs(c2[:, None, 2] - c2[None, :, 2])
+    dxy1 = np.linalg.norm(c1[:, None, :2] - c1[None, :, :2], axis=-1)
+    dxy2 = np.linalg.norm(c2[:, None, :2] - c2[None, :, :2], axis=-1)
+    d1b = D1[:, None, :, None]
+    d2b = D2[None, :, None, :]
+    slack = np.sin(0.0872665) * np.maximum(d1b, d2b)
+    cz = np.maximum(np.abs(dz1[:, None, :, None] - dz2[None, :, None, :]) - slack, 0.0)
+    cxy = np.abs(dxy1[:, None, :, None] - dxy2[None, :, None, :])
+    c = np.sqrt(cz**2 + cxy**2)
+    sd = np.exp(-0.5 * (c / sigma) ** 2) * (c < eps) * (d1b > mindist) * (d2b > mindist)
+    # per-association ratio + cosine
+    a = np.abs(r1[:, None, :])
+    b = np.abs(r2[None, :, :])
+    rho = np.minimum(a, b) / np.maximum(np.maximum(a, b), 1e-9)
+    sr = np.exp(np.mean(np.log(np.maximum(rho, 1e-20)), axis=-1)) * np.all(rho > 0, -1)
+    cos = d1 @ d2.T
+    sc = np.clip((cos - cmin) / (cmax - cmin), 0, 1)
+    single = (sr * sc) ** 0.5
+    srp = np.sqrt(sr[:, :, None, None] * sr[None, None, :, :])
+    scp = np.sqrt(sc[:, :, None, None] * sc[None, None, :, :])
+    M = (sd * srp * scp) ** (1.0 / 3.0)
+    ia = np.arange(n)
+    ib = np.arange(m)
+    same_a = (ia[:, None, None, None] == ia[None, None, :, None])
+    same_b = (ib[None, :, None, None] == ib[None, None, None, :])
+    M = np.where(same_a ^ same_b, 0.0, M)
+    M = np.where(same_a & same_b, 0.0, M)
+    M[ia[:, None], ib[None, :], ia[:, None], ib[None, :]] = single
+    return M.reshape(n * m, n * m), single
+
+
+def run_baseline(feats, cfg, n_sample=3):
+    """Serial per-pair solve with the same math + iteration budget."""
+    f1, f2 = feats
+    c1s = np.asarray(f1.centers)
+    r1s = np.asarray(f1.ratio_feats)
+    d1s = np.asarray(f1.descriptors)
+    v1s = np.asarray(f1.valid)
+    c2s = np.asarray(f2.centers)
+    r2s = np.asarray(f2.ratio_feats)
+    d2s = np.asarray(f2.descriptors)
+    v2s = np.asarray(f2.valid)
+
+    # sample pairs spread across the grid (representative submap sizes)
+    t0 = time.perf_counter()
+    for k in range(n_sample):
+        i = (k * len(c1s)) // n_sample
+        j = (k * len(c2s) * 3 // 2) % len(c2s)
+        n1 = int(v1s[i].sum())
+        n2 = int(v2s[j].sum())
+        M, single = _np_affinity(
+            c1s[i][:n1], r1s[i][:n1], d1s[i][:n1],
+            c2s[j][:n2], r2s[j][:n2], d2s[j][:n2],
+            cfg.sigma, cfg.epsilon, cfg.mindist, cfg.cos_min, cfg.cos_max,
+        )
+        N = M.shape[0]
+        u = np.ones(N) / np.sqrt(N)
+        d = 0.0
+        Cb = None
+        for _ in range(10):  # warmup power iters
+            u = np.maximum(M @ u + u, 0)
+            u /= max(np.linalg.norm(u), 1e-12)
+        # penalty homotopy (Cb matvec done densely as C++ CLIPPER does)
+        ia = np.repeat(np.arange(n1), n2)
+        ib = np.tile(np.arange(n2), n1)
+        conflict = ((ia[:, None] == ia[None, :]) ^ (ib[:, None] == ib[None, :])).astype(np.float64)
+        for _ in range(12):
+            for _ in range(10):
+                g = M @ u - d * (conflict @ u)
+                u = np.maximum(g, 0)
+                nn = np.linalg.norm(u)
+                u = u / nn if nn > 1e-12 else np.ones(N) / np.sqrt(N)
+            Cbu = conflict @ u
+            viol = (u > 1e-6) & (Cbu > 1e-6)
+            if viol.any():
+                d += (M @ u)[viol].sum() / max(Cbu[viol].sum(), 1e-9) + 1e-3
+        # rounding + Arun
+        omega = int(round(u @ (M @ u)))
+        order = np.argsort(-u)[: max(omega, 0)]
+        ra, rb = set(), set()
+        sel = []
+        for idx in order:
+            a_, b_ = divmod(idx, n2)
+            if a_ in ra or b_ in rb or u[idx] <= 0:
+                continue
+            ra.add(a_)
+            rb.add(b_)
+            sel.append((a_, b_))
+        if len(sel) >= 3:
+            p1 = c1s[i][[a for a, _ in sel]]
+            p2 = c2s[j][[b for _, b in sel]]
+            m1, m2 = p1.mean(0), p2.mean(0)
+            H = (p1 - m1).T @ (p2 - m2)
+            U, _, Vh = np.linalg.svd(H)
+            R = U @ Vh
+    dt = (time.perf_counter() - t0) / n_sample
+    return 1.0 / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--desc-dim", type=int, default=768)
+    ap.add_argument("--baseline-samples", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true", help="force jax to CPU")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    submaps, feats, auxs, cfg = build_workload(desc_dim=args.desc_dim)
+    P, pps, res = run_tpu(feats, auxs, cfg, chunk_size=args.chunk,
+                          repeats=args.repeats)
+    base_pps = run_baseline(feats, cfg, n_sample=args.baseline_samples)
+    print(json.dumps({
+        "metric": "submap_align_pairs_per_sec",
+        "value": round(pps, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pps / base_pps, 2),
+        "pairs": P,
+        "baseline_pairs_per_sec": round(base_pps, 3),
+        "submap_capacity": 40,
+        "desc_dim": args.desc_dim,
+    }))
+
+
+if __name__ == "__main__":
+    main()

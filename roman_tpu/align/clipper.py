@@ -83,12 +83,14 @@ def solve(M4: jax.Array, valid: jax.Array, params: ClipperSolveParams = ClipperS
     batch = M4.shape[:-4]
     n, m = M4.shape[-4], M4.shape[-3]
     N = n * m
-    M = M4.reshape(batch + (N, N))
-    validf = valid.astype(M4.dtype)
+    # the affinity is read ~150x by the power iterations and is the HBM
+    # bandwidth bottleneck: store it bf16, accumulate matvecs in f32
+    M = M4.reshape(batch + (N, N)).astype(jnp.bfloat16)
+    validf = valid.astype(jnp.float32)
 
     def m_matvec(U):
-        u = U.reshape(batch + (N, 1))
-        r = jnp.matmul(M, u, precision=jax.lax.Precision.HIGHEST)
+        u = U.reshape(batch + (N, 1)).astype(jnp.bfloat16)
+        r = jnp.matmul(M, u, preferred_element_type=jnp.float32)
         return r.reshape(batch + (n, m))
 
     # --- warm start: shifted power iteration toward the Perron vector ---

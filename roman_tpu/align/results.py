@@ -24,8 +24,7 @@ from roman_tpu.params.submap_align_params import (
     SubmapAlignParams,
 )
 from roman_tpu.data.pose_data import PoseData
-from roman_tpu.ops import se3
-import jax.numpy as jnp
+from roman_tpu.ops import se3_np
 
 
 def time_to_secs_nsecs(t, as_dict=False):
@@ -218,7 +217,7 @@ def _write_g2o_and_json(results, submaps, roman_maps):
                     @ np.linalg.inv(T_odomj_cj)
                     @ T_odomj_pj
                 )
-                t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(T_pi_pj)))
+                t, q = se3_np.T_to_xyz_quat(T_pi_pj)
                 json_output.append(
                     {
                         "seconds": [int(submaps[0][i].time), int(submaps[1][j].time)],
@@ -275,7 +274,7 @@ def _write_submap_jsons(results, submaps, roman_maps):
                 }
             )
         for j, sm in enumerate(submaps[i]):
-            t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(sm.pose_gravity_aligned)))
+            t, q = se3_np.T_to_xyz_quat(sm.pose_gravity_aligned)
             sm_json["submaps"].append(
                 {
                     "submap_index": j,

@@ -40,7 +40,7 @@ from roman_tpu.map.roman_map import (
     submaps_to_features,
 )
 from roman_tpu.data.pose_data import PoseData
-from roman_tpu.ops import se3
+from roman_tpu.ops import se3_np
 from roman_tpu.params.submap_align_params import (
     SubmapAlignInputOutput,
     SubmapAlignParams,
@@ -73,7 +73,21 @@ class PairGridRegistrar:
         cfg = self.cfg
         single_robot_lc = self.single_robot_lc
 
-        def fn(f1, f2, ids1, ids2, key):
+        def fn(feats1, feats2, ids1_all, ids2_all, idx_i, idx_j, key):
+            # gather per-pair features ON DEVICE (host gathers would
+            # round-trip through the TPU tunnel per chunk)
+            f1 = jax.tree.map(lambda x: x[idx_i], feats1)
+            f2 = jax.tree.map(lambda x: x[idx_j], feats2)
+            ids1 = ids1_all[idx_i]
+            ids2 = ids2_all[idx_j]
+            return self._register(f1, f2, ids1, ids2, key)
+
+        return fn
+
+    def _register(self, f1, f2, ids1, ids2, key):
+        cfg = self.cfg
+        single_robot_lc = self.single_robot_lc
+        if True:
             if single_robot_lc:
                 # remove segments whose ids appear in both submaps
                 # (submap_align.py:108-115)
@@ -103,8 +117,6 @@ class PairGridRegistrar:
                 res = reg.register_clipper(f1, f2, cfg)
             return res
 
-        return fn
-
     def _get_jitted(self, sig):
         if sig not in self._jitted:
             fn = self._registration_fn()
@@ -113,12 +125,10 @@ class PairGridRegistrar:
 
                 shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
 
-                def sharded(f1, f2, ids1, ids2, key):
-                    f1, f2, ids1, ids2 = jax.tree.map(
-                        lambda x: jax.lax.with_sharding_constraint(x, shard),
-                        (f1, f2, ids1, ids2),
-                    )
-                    return fn(f1, f2, ids1, ids2, key)
+                def sharded(feats1, feats2, ids1_all, ids2_all, idx_i, idx_j, key):
+                    idx_i = jax.lax.with_sharding_constraint(idx_i, shard)
+                    idx_j = jax.lax.with_sharding_constraint(idx_j, shard)
+                    return fn(feats1, feats2, ids1_all, ids2_all, idx_i, idx_j, key)
 
                 self._jitted[sig] = jax.jit(sharded)
             else:
@@ -129,11 +139,19 @@ class PairGridRegistrar:
                  seed: int = 0) -> RegistrationResult:
         """feats*: SubmapFeatures over all submaps of each robot;
         pair_i/pair_j: (P,) submap indices to register. Returns batched
-        RegistrationResult as numpy-backed arrays of length P."""
+        RegistrationResult as numpy-backed arrays of length P.
+
+        All chunks are dispatched asynchronously (device gathers inside the
+        jit); host sync happens once at the end."""
+        import jax.numpy as jnp
+
         P = len(pair_i)
         C = self.chunk_size
         out = []
         key = jax.random.PRNGKey(seed)
+        ids1_d = jnp.asarray(ids1_all)
+        ids2_d = jnp.asarray(ids2_all)
+        fn = self._get_jitted((C,))
         for s in range(0, max(P, 1), C):
             idx_i = pair_i[s: s + C]
             idx_j = pair_j[s: s + C]
@@ -141,19 +159,18 @@ class PairGridRegistrar:
             if pad:
                 idx_i = np.concatenate([idx_i, np.zeros(pad, np.int64)])
                 idx_j = np.concatenate([idx_j, np.zeros(pad, np.int64)])
-            f1 = jax.tree.map(lambda x: x[jnp.asarray(idx_i)], feats1)
-            f2 = jax.tree.map(lambda x: x[jnp.asarray(idx_j)], feats2)
-            i1 = jnp.asarray(ids1_all[idx_i])
-            i2 = jnp.asarray(ids2_all[idx_j])
-            sig = (C,)
-            res = self._get_jitted(sig)(f1, f2, i1, i2, key)
+            res = fn(feats1, feats2, ids1_d, ids2_d,
+                     jnp.asarray(idx_i, jnp.int32), jnp.asarray(idx_j, jnp.int32), key)
+            out.append((res, pad))
+        if not out:
+            return None
+        results = []
+        for res, pad in out:  # single sync point: device -> host copies
             res = jax.tree.map(np.asarray, res)
             if pad:
                 res = jax.tree.map(lambda x: x[: C - pad], res)
-            out.append(res)
-        if not out:
-            return None
-        return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *out)
+            results.append(res)
+        return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *results)
 
 
 def submap_align(sm_params: SubmapAlignParams, sm_io: SubmapAlignInputOutput,
@@ -245,12 +262,8 @@ def align_submap_lists(submaps, cfg: RegistrationConfig,
             else auxs[0]["poses_gravity"])
     T_w1 = (auxs[1]["poses_gravity_gt"] if gt_pose_data[1] is not None
             else auxs[1]["poses_gravity"])
-    T_ij_mat = np.asarray(
-        jnp.einsum("iab,jbc->ijac", jnp.asarray(np.linalg.inv(T_w0)), jnp.asarray(T_w1))
-    )
-    yaw_diff = np.abs(
-        np.rad2deg(np.asarray(se3.T_to_xyzrpy(jnp.asarray(T_ij_mat)))[..., 5])
-    )
+    T_ij_mat = np.einsum("iab,jbc->ijac", np.linalg.inv(T_w0), T_w1)
+    yaw_diff = np.abs(np.rad2deg(se3_np.T_to_xyzrpy(T_ij_mat)[..., 5]))
     submap_yaw_diff_mat = np.where(~np.isnan(nearby), yaw_diff, np.nan)
 
     # submap descriptor similarity gate (submap_align.py:131-149)
@@ -307,20 +320,22 @@ def align_submap_lists(submaps, cfg: RegistrationConfig,
     if res is not None and len(pair_i):
         T_hat = res.T_align.copy()
         ok = res.ok.copy()
-        rpy = np.asarray(se3.T_to_xyzrpy(jnp.asarray(T_hat)))[:, 3:]
+        rpy = se3_np.T_to_xyzrpy(T_hat)[:, 3:]
         if sm_params.dim == 3 and sm_params.force_rm_upside_down:
             upside_down = (np.abs(rpy[:, 0]) > np.deg2rad(90.0)) | (
                 np.abs(rpy[:, 1]) > np.deg2rad(90.0)
             )
             ok = ok & ~upside_down
         if sm_params.dim == 3 and sm_params.force_rm_lc_roll_pitch:
-            T_hat = np.asarray(se3.transform_rm_roll_pitch(jnp.asarray(T_hat)))
+            T_hat = se3_np.transform_rm_roll_pitch(T_hat)
 
         T_ij_sel = T_ij_mat[pair_i, pair_j]
-        T_err = np.asarray(
-            jnp.einsum("pab,pbc->pac", jnp.asarray(np.linalg.inv(T_hat)), jnp.asarray(T_ij_sel))
-        )
-        theta_all = np.asarray(se3.rotation_magnitude(jnp.asarray(T_err[:, :3, :3])))
+        # guard: failed registrations carry garbage T; inv of near-singular
+        # matrices is fine for error reporting since ok[k] gates usage
+        T_hat_safe = np.where(np.isfinite(T_hat).all(axis=(1, 2), keepdims=True), T_hat,
+                              np.eye(4))
+        T_err = np.einsum("pab,pbc->pac", np.linalg.inv(T_hat_safe), T_ij_sel)
+        theta_all = se3_np.rotation_magnitude(T_err[:, :3, :3])
         d_all = np.linalg.norm(T_err[:, : sm_params.dim, 3], axis=-1)
 
         for k, (i, j) in enumerate(zip(pair_i, pair_j)):

@@ -14,8 +14,7 @@ import dataclasses
 
 import numpy as np
 
-from roman_tpu.ops import se3
-import jax.numpy as jnp
+from roman_tpu.ops import se3_np
 
 
 @dataclasses.dataclass
@@ -44,7 +43,7 @@ class PoseData:
         t = data[:, time_col]
         xyz = data[:, 1:4]
         quat = data[:, 4:8]
-        T = np.asarray(se3.xyz_quat_to_T(jnp.asarray(xyz), jnp.asarray(quat)))
+        T = se3_np.xyz_quat_to_T(xyz, quat)
         return cls(times=t, poses=T, **kw)
 
     @classmethod
@@ -75,11 +74,7 @@ class PoseData:
         alpha = np.clip((t - ts[i0]) / denom, 0.0, 1.0)
         if not self.interp:
             alpha = np.round(alpha)
-        out = np.asarray(
-            se3.interp_T(
-                jnp.asarray(self.poses[i0]), jnp.asarray(self.poses[i1]), jnp.asarray(alpha)
-            )
-        )
+        out = se3_np.interp_T(self.poses[i0], self.poses[i1], alpha)
         # tolerance check
         nearest = np.minimum(np.abs(ts[i0] - t), np.abs(ts[i1] - t))
         if np.any(nearest > self.time_tol):

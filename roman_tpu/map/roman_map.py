@@ -23,11 +23,10 @@ import pickle
 from typing import List, Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 from roman_tpu.align.registration import RegistrationConfig, build_features
 from roman_tpu.data.pose_data import PoseData
-from roman_tpu.ops import se3
+from roman_tpu.ops import se3_np
 
 
 @dataclasses.dataclass
@@ -135,11 +134,11 @@ class Submap:
 
     @property
     def pose_gravity_aligned(self) -> np.ndarray:
-        return np.asarray(se3.transform_rm_roll_pitch(jnp.asarray(self.pose_flu)))
+        return se3_np.transform_rm_roll_pitch(self.pose_flu)
 
     @property
     def pose_gravity_aligned_gt(self) -> np.ndarray:
-        return np.asarray(se3.transform_rm_roll_pitch(jnp.asarray(self.pose_flu_gt)))
+        return se3_np.transform_rm_roll_pitch(self.pose_flu_gt)
 
     @property
     def position(self):
@@ -380,6 +379,8 @@ def submaps_to_features(
             valid[i, j] = True
             seg_ids[i, j] = s.id
 
+    import jax.numpy as jnp  # device packing only; host glue stays numpy
+
     feats = build_features(
         jnp.asarray(centers), jnp.asarray(valid), cfg,
         pca_attrs=jnp.asarray(pca), volume=jnp.asarray(volume),
@@ -440,11 +441,9 @@ def load_segment_slam_submaps(json_file: str, robot_name=None) -> List[Submap]:
         if robot_name is not None and sj["robot_name"] != robot_name:
             continue
         tf = sj["T_odom_submap"]
-        T = np.asarray(
-            se3.xyz_quat_to_T(
-                jnp.asarray([tf["tx"], tf["ty"], tf["tz"]]),
-                jnp.asarray([tf["qx"], tf["qy"], tf["qz"], tf["qw"]]),
-            )
+        T = se3_np.xyz_quat_to_T(
+            np.array([tf["tx"], tf["ty"], tf["tz"]]),
+            np.array([tf["qx"], tf["qy"], tf["qz"], tf["qw"]]),
         )
         submaps.append(
             Submap(

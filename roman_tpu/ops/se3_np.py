@@ -1,0 +1,134 @@
+"""Numpy twins of roman_tpu.ops.se3 for HOST-side glue code.
+
+The TPU in this deployment sits behind a tunnel where every device->host
+fetch costs ~1s of latency regardless of size, so host-side bookkeeping
+(submap poses, g2o text conversion, pose interpolation) must never touch
+jax for 4x4-sized math. Batched device code keeps using roman_tpu.ops.se3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial.transform import Rotation as Rot
+
+
+def quat_to_rot(q: np.ndarray) -> np.ndarray:
+    return Rot.from_quat(np.asarray(q).reshape(-1, 4)).as_matrix().reshape(
+        np.shape(q)[:-1] + (3, 3)
+    )
+
+
+def rot_to_quat(R: np.ndarray) -> np.ndarray:
+    R = np.asarray(R)
+    return Rot.from_matrix(R.reshape(-1, 3, 3)).as_quat().reshape(R.shape[:-2] + (4,))
+
+
+def make_T(R: np.ndarray, t: np.ndarray) -> np.ndarray:
+    R = np.asarray(R)
+    t = np.asarray(t)
+    batch = R.shape[:-2]
+    T = np.zeros(batch + (4, 4))
+    T[..., :3, :3] = R
+    T[..., :3, 3] = t
+    T[..., 3, 3] = 1.0
+    return T
+
+
+def xyz_quat_to_T(t: np.ndarray, q: np.ndarray) -> np.ndarray:
+    return make_T(quat_to_rot(q), t)
+
+
+def T_to_xyz_quat(T: np.ndarray):
+    T = np.asarray(T)
+    return T[..., :3, 3], rot_to_quat(T[..., :3, :3])
+
+
+def inv_T(T: np.ndarray) -> np.ndarray:
+    T = np.asarray(T)
+    Rt = np.swapaxes(T[..., :3, :3], -1, -2)
+    return make_T(Rt, -np.einsum("...ij,...j->...i", Rt, T[..., :3, 3]))
+
+
+def transform_rm_roll_pitch(T: np.ndarray) -> np.ndarray:
+    """Yaw-only projection (reference roman/utils.py:128-130), batched."""
+    T = np.asarray(T)
+    R = T[..., :3, :3]
+    yaw = np.arctan2(R[..., 1, 0], R[..., 0, 0])
+    c, s = np.cos(yaw), np.sin(yaw)
+    Rz = np.zeros(T.shape[:-2] + (3, 3))
+    Rz[..., 0, 0] = c
+    Rz[..., 0, 1] = -s
+    Rz[..., 1, 0] = s
+    Rz[..., 1, 1] = c
+    Rz[..., 2, 2] = 1.0
+    return make_T(Rz, T[..., :3, 3])
+
+
+def T_to_xyzrpy(T: np.ndarray) -> np.ndarray:
+    T = np.asarray(T)
+    R = T[..., :3, :3]
+    yaw = np.arctan2(R[..., 1, 0], R[..., 0, 0])
+    pitch = np.arcsin(np.clip(-R[..., 2, 0], -1.0, 1.0))
+    roll = np.arctan2(R[..., 2, 1], R[..., 2, 2])
+    return np.concatenate(
+        [T[..., :3, 3], np.stack([roll, pitch, yaw], axis=-1)], axis=-1
+    )
+
+
+def rotation_magnitude(R: np.ndarray) -> np.ndarray:
+    R = np.asarray(R)
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    return np.arccos(np.clip((tr - 1.0) * 0.5, -1.0, 1.0))
+
+
+def _skew(w: np.ndarray) -> np.ndarray:
+    K = np.zeros(w.shape[:-1] + (3, 3))
+    K[..., 0, 1] = -w[..., 2]
+    K[..., 0, 2] = w[..., 1]
+    K[..., 1, 0] = w[..., 2]
+    K[..., 1, 2] = -w[..., 0]
+    K[..., 2, 0] = -w[..., 1]
+    K[..., 2, 1] = w[..., 0]
+    return K
+
+
+def se3_log(T: np.ndarray) -> np.ndarray:
+    """(...,4,4) -> (...,6) [rho, w], fully vectorized."""
+    T = np.asarray(T)
+    shape = T.shape[:-2]
+    Tf = T.reshape(-1, 4, 4)
+    w = Rot.from_matrix(Tf[:, :3, :3]).as_rotvec()
+    th = np.linalg.norm(w, axis=-1)
+    K = _skew(w)
+    K2 = np.einsum("nij,njk->nik", K, K)
+    small = th < 1e-4
+    th_s = np.where(small, 1.0, th)
+    coef = np.where(
+        small,
+        1.0 / 12.0,
+        (1 - th_s * np.sin(th_s) / (2 * (1 - np.cos(th_s)))) / th_s**2,
+    )
+    Vinv = np.eye(3) - 0.5 * K + coef[:, None, None] * K2
+    rho = np.einsum("nij,nj->ni", Vinv, Tf[:, :3, 3])
+    return np.concatenate([rho, w], axis=-1).reshape(shape + (6,))
+
+
+def interp_T(T0: np.ndarray, T1: np.ndarray, alpha: np.ndarray) -> np.ndarray:
+    """Pose interpolation: lerp translation + slerp rotation (scipy)."""
+    T0 = np.atleast_3d(np.asarray(T0)).reshape(-1, 4, 4)
+    T1 = np.atleast_3d(np.asarray(T1)).reshape(-1, 4, 4)
+    a = np.asarray(alpha).reshape(-1)
+    q0 = Rot.from_matrix(T0[:, :3, :3]).as_quat()
+    q1 = Rot.from_matrix(T1[:, :3, :3]).as_quat()
+    dot = np.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = np.where(dot < 0, -q1, q1)
+    dot = np.clip(np.abs(dot), -1.0, 1.0)
+    theta = np.arccos(dot)
+    sin_t = np.sin(theta)
+    small = sin_t[:, 0] < 1e-6
+    w0 = np.where(small[:, None], 1 - a[:, None], np.sin((1 - a[:, None]) * theta) / np.maximum(sin_t, 1e-12))
+    w1 = np.where(small[:, None], a[:, None], np.sin(a[:, None] * theta) / np.maximum(sin_t, 1e-12))
+    q = w0 * q0 + w1 * q1
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t = (1 - a[:, None]) * T0[:, :3, 3] + a[:, None] * T1[:, :3, 3]
+    return make_T(Rot.from_quat(q).as_matrix(), t)

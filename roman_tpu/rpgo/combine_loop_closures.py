@@ -14,15 +14,13 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from roman_tpu.data.pose_data import PoseData
-from roman_tpu.ops import se3
+from roman_tpu.ops import se3_np
 from roman_tpu.rpgo.g2o_io import (
     g2o_and_time_to_pose_data,
     parse_g2o,
     symbol_chr,
     time_vertex_mapping,
 )
-import jax.numpy as jnp
-
 
 @dataclasses.dataclass
 class LoopClosure:
@@ -43,9 +41,7 @@ class LoopClosure:
         return symbol_chr(self.vertex(robot_num))
 
     def transform(self) -> np.ndarray:
-        return np.asarray(
-            se3.xyz_quat_to_T(jnp.asarray(self.xyz_quat[:3]), jnp.asarray(self.xyz_quat[3:]))
-        )
+        return se3_np.xyz_quat_to_T(self.xyz_quat[:3], self.xyz_quat[3:])
 
     def __str__(self):
         return (
@@ -87,7 +83,7 @@ def extract_additional_lc(
             continue
         T_p0e_p1e = lc.transform()
         T_p0r_p1r = np.linalg.inv(T_t0_tnear[0]) @ T_p0e_p1e @ T_t0_tnear[1]
-        t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(T_p0r_p1r)))
+        t, q = se3_np.T_to_xyz_quat(T_p0r_p1r)
         extra.append(
             LoopClosure(
                 vertex0=vxs_ref[0],

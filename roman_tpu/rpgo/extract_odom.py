@@ -13,10 +13,9 @@ import os
 from typing import List, Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 from roman_tpu.map.roman_map import RomanMap, load_roman_map
-from roman_tpu.ops import se3
+from roman_tpu.ops import se3_np
 from roman_tpu.rpgo.g2o_io import information_matrix, info_upper_from_matrix
 
 
@@ -47,14 +46,8 @@ def extract_odom_g2o(
     idx = select_keyframes(poses, min_keyframe_dist)
     kf = poses[idx]
     # batched relative poses T_12 = inv(T_w1) @ T_w2 over consecutive keyframes
-    T12 = np.asarray(
-        jnp.einsum(
-            "kab,kbc->kac",
-            jnp.asarray(np.linalg.inv(kf[:-1])),
-            jnp.asarray(kf[1:]),
-        )
-    )
-    t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(T12)))
+    T12 = np.einsum("kab,kbc->kac", np.linalg.inv(kf[:-1]), kf[1:])
+    t, q = se3_np.T_to_xyz_quat(T12)
     iu = info_upper_from_matrix(I)
 
     edge_lines = []
@@ -71,7 +64,7 @@ def extract_odom_g2o(
             line += "\t\t"
         edge_lines.append(line + "\n")
 
-    vt, vq = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(kf)))
+    vt, vq = se3_np.T_to_xyz_quat(kf)
     vertex_lines = [
         f"VERTEX_SE3:QUAT {k} {vt[k, 0]} {vt[k, 1]} {vt[k, 2]} "
         f"{vq[k, 0]} {vq[k, 1]} {vq[k, 2]} {vq[k, 3]}\n"

@@ -26,8 +26,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from roman_tpu.data.pose_data import PoseData
-from roman_tpu.ops import se3
-import jax.numpy as jnp
+from roman_tpu.ops import se3_np
 
 _IDX_MASK = (1 << 56) - 1
 
@@ -55,9 +54,7 @@ class G2OEdge:
 
     @property
     def T(self) -> np.ndarray:
-        return np.asarray(
-            se3.xyz_quat_to_T(jnp.asarray(self.xyz_quat[:3]), jnp.asarray(self.xyz_quat[3:]))
-        )
+        return se3_np.xyz_quat_to_T(self.xyz_quat[:3], self.xyz_quat[3:])
 
     @property
     def info(self) -> np.ndarray:
@@ -74,7 +71,7 @@ class G2OGraph:
 
     def vertex_T(self, key: int) -> np.ndarray:
         xq = self.vertices[key]
-        return np.asarray(se3.xyz_quat_to_T(jnp.asarray(xq[:3]), jnp.asarray(xq[3:])))
+        return se3_np.xyz_quat_to_T(xq[:3], xq[3:])
 
 
 def info_upper_from_matrix(I: np.ndarray) -> np.ndarray:
@@ -234,7 +231,7 @@ def g2o_and_time_to_pose_data(g2o_file: str, time_file: str, robot_id: int) -> P
 
 
 def pose_data_to_csv(pd: PoseData, path: str):
-    t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(pd.poses)))
+    t, q = se3_np.T_to_xyz_quat(pd.poses)
     data = np.concatenate([pd.times[:, None], t, q], axis=1)
     np.savetxt(path, data, delimiter=",",
                header="t,x,y,z,qx,qy,qz,qw", comments="")

@@ -57,7 +57,9 @@ def graph_to_arrays(graph: G2OGraph):
     key_to_idx = {k: i for i, k in enumerate(keys)}
     V = len(keys)
     xq = np.stack([graph.vertices[k] for k in keys])
-    T0 = np.asarray(se3.xyz_quat_to_T(jnp.asarray(xq[:, :3]), jnp.asarray(xq[:, 3:])))
+    from roman_tpu.ops import se3_np
+
+    T0 = se3_np.xyz_quat_to_T(xq[:, :3], xq[:, 3:])
     ii = np.array([key_to_idx[e.v1] for e in graph.edges], np.int32)
     jj = np.array([key_to_idx[e.v2] for e in graph.edges], np.int32)
     Tm = np.stack([e.T for e in graph.edges])
@@ -143,7 +145,9 @@ def pcm_gate(T_init: np.ndarray, ii, jj, Tm, info, lc_mask: np.ndarray,
             T_init[ii[es]], Tm[es], np.linalg.inv(T_init[jj[es]]),
         )
         D = np.einsum("eab,fbc->efac", np.linalg.inv(T_ab), T_ab)
-        d_log = np.asarray(se3.se3_log(jnp.asarray(D)))  # (n, n, 6)
+        from roman_tpu.ops import se3_np
+
+        d_log = se3_np.se3_log(D)  # (n, n, 6)
         w = np.array([1.0, 1.0, 1.0, 10.0, 10.0, 10.0])
         chi2 = np.sum((d_log * w) ** 2, axis=-1)
         C = chi2 < thresh
@@ -377,7 +381,9 @@ def solve_pose_graph(
         T_init, ii[use], jj[use], Tm[use], info[use], lc[use], params
     )
 
-    t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(T_opt)))
+    from roman_tpu.ops import se3_np
+
+    t, q = se3_np.T_to_xyz_quat(T_opt)
     vertices = {k: np.concatenate([t[i], q[i]]) for i, k in enumerate(keys)}
     out = G2OGraph(vertices=vertices, edges=graph.edges)
     diag = dict(

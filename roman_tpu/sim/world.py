@@ -189,11 +189,9 @@ def roman_map_from_run(run: "RobotRun"):
 
 def write_gt_csv(run: "RobotRun", path: str):
     """TUM-format ground truth trajectory file."""
-    import jax.numpy as jnp
+    from roman_tpu.ops import se3_np
 
-    from roman_tpu.ops import se3
-
-    t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(run.poses)))
+    t, q = se3_np.T_to_xyz_quat(run.poses)
     data = np.concatenate([run.times[:, None], t, q], axis=1)
     np.savetxt(path, data)
 
