@@ -134,15 +134,24 @@ def solve(M4: jax.Array, valid: jax.Array, params: ClipperSolveParams = ClipperS
     return U, d, F
 
 
-def round_greedy(u: jax.Array, omega: jax.Array, max_steps: int):
+def round_greedy(u: jax.Array, omega: jax.Array, max_steps: int,
+                 rel_thresh: float = 0.35):
     """Greedy-feasible rounding of the solution vector.
 
-    Selects up to round(omega) associations in decreasing u order while
-    maintaining one-to-one row/col feasibility.
+    Selects associations in decreasing u order while maintaining
+    one-to-one row/col feasibility, stopping when u_i falls below
+    rel_thresh * max(u). The eigenvector of the penalized affinity
+    localizes on the densest clique with comparable magnitudes and decays
+    sharply off-clique, so a relative cut is scale-invariant — unlike the
+    CLIPPER paper's omega = round(u^T M_d u) estimate, which systematically
+    under-selects when inlier affinities average below 1 (real maps with
+    drift/duplicate segments) and is meaningless when the penalized
+    objective goes negative. `omega` is kept as an additional upper bound
+    when finite and positive.
 
     Args:
       u: (..., n, m) nonnegative solution.
-      omega: (...,) clique-size estimate (u^T M_d u).
+      omega: (...,) optional clique-size cap (pass +inf to disable).
       max_steps: static upper bound on clique size (e.g. min(n, m)).
 
     Returns:
@@ -150,7 +159,11 @@ def round_greedy(u: jax.Array, omega: jax.Array, max_steps: int):
     """
     batch = u.shape[:-2]
     n, m = u.shape[-2], u.shape[-1]
-    target = jnp.clip(jnp.round(omega), 0, max_steps).astype(jnp.int32)
+    u_max = jnp.max(u, axis=(-2, -1))
+    cut = rel_thresh * u_max
+    target = jnp.where(
+        omega > 0, jnp.clip(jnp.round(omega * 2.0), 1, max_steps), max_steps
+    ).astype(jnp.int32)
 
     def body(carry, _):
         row_free, col_free, sel, count = carry
@@ -160,7 +173,7 @@ def round_greedy(u: jax.Array, omega: jax.Array, max_steps: int):
         val = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
         a = idx // m
         b = idx % m
-        take = (val > 0.0) & (count < target)
+        take = (val > cut) & (val > 0.0) & (count < target)
         onehot_a = jax.nn.one_hot(a, n, dtype=bool)
         onehot_b = jax.nn.one_hot(b, m, dtype=bool)
         pick = onehot_a[..., :, None] & onehot_b[..., None, :]

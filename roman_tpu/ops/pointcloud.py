@@ -76,15 +76,22 @@ def largest_cluster_mask_np(
 def statistical_outlier_mask_np(
     points: np.ndarray, nb_neighbors: int = 10, std_ratio: float = 1.0
 ) -> np.ndarray:
-    """Numpy twin of statistical_outlier_mask (o3d remove_statistical_outlier)."""
-    pts = np.asarray(points)
+    """Numpy twin of statistical_outlier_mask (o3d remove_statistical_outlier).
+
+    Runs on every segment point-insert (the reference calls o3d's C++
+    KD-tree version there, segment.py:183), so it is written for speed:
+    squared distances via the Gram trick (one BLAS matmul) and k-NN via
+    np.partition instead of a full sort.
+    """
+    pts = np.asarray(points, np.float64)
     n = len(pts)
     if n <= 1:
         return np.ones(n, dtype=bool)
-    d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
-    np.fill_diagonal(d, np.inf)
+    sq = np.einsum("ij,ij->i", pts, pts)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (pts @ pts.T)
+    np.fill_diagonal(d2, np.inf)
     k = min(nb_neighbors, n - 1)
-    knn = np.sort(d, axis=1)[:, :k]
-    mean_d = knn.mean(axis=1)
+    part = np.partition(d2, k - 1, axis=1)[:, :k]
+    mean_d = np.sqrt(np.maximum(part, 0.0)).mean(axis=1)
     thresh = mean_d.mean() + std_ratio * mean_d.std()
     return mean_d <= thresh

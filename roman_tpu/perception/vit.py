@@ -35,6 +35,7 @@ class ViTConfig:
     pre_ln: bool = False            # CLIP applies LN before the blocks
     proj_dim: Optional[int] = None  # CLIP output projection
     patch_bias: bool = True
+    ln_eps: float = 1e-6            # CLIP uses 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -97,12 +98,12 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="norm1")(x)
         h = Attention(c, name="attn")(h)
         if c.layerscale:
             h = LayerScale(c.width, name="ls1")(h)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="norm2")(x)
         h = Mlp(c, name="mlp")(h)
         if c.layerscale:
             h = LayerScale(c.width, name="ls2")(h)
@@ -134,11 +135,10 @@ class ViT(nn.Module):
         x = x + interpolate_pos_embed(pos, gh, gw, c.grid).astype(c.dtype)
 
         if c.pre_ln:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x)
+            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="ln_pre")(x)
         for i in range(c.depth):
             x = Block(c, name=f"block{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-6 if not c.pre_ln else 1e-5,
-                         dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(epsilon=c.ln_eps, dtype=jnp.float32, name="norm")(x)
 
         cls_out = x[:, 0]
         patches = x[:, 1:].reshape(B, gh, gw, c.width)

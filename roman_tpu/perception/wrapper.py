@@ -1,0 +1,207 @@
+"""Batched perception front-end: RGB-D frames -> per-mask Observations +
+frame descriptors.
+
+Parity with reference FastSAMWrapper.run (fastsam_wrapper.py:254-418):
+segmentation masks -> filtering (area bounds by min/max_mask_len_div, image
+edge contact, keep/ignore label boxes, triangle ignore regions) -> 3D
+point-cloud lifting from the depth image with max_depth rejection (a mask
+is dropped when <25% of its points are within max_depth,
+fastsam_wrapper.py:323,352) -> voxel downsample -> plane filter by OBB
+extents (:373-384) -> per-mask semantic embedding (mean per-pixel DINOv2
+feature, :407-414, or CLIP bbox crop, :393-406) -> frame descriptor
+pooling (:650-666).
+
+TPU design: everything up to Observation construction is one jit'd,
+static-shape program over a batch of frames with capacity-padded masks —
+segmentation, embedding, lifting and filtering run per BATCH of frames
+instead of per mask (the reference loops masks in python).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roman_tpu.data.camera import CameraParams, depth_image_to_points
+from roman_tpu.map.observation import Observation
+from roman_tpu.ops.geometry import obb_volume_extent
+from roman_tpu.ops.voxel import voxel_downsample
+from roman_tpu.params.fastsam_params import FastSAMParams
+from roman_tpu.perception import dinov2, fastsam
+from roman_tpu.perception.frame_descriptor import frame_descriptor, masked_mean_embedding
+from roman_tpu.perception.vit import upsample_patch_features
+
+
+@dataclasses.dataclass
+class PerceptionOutput:
+    """Padded device outputs for a batch of frames."""
+
+    masks: np.ndarray          # (B, K, H, W) bool
+    valid: np.ndarray          # (B, K)
+    points: np.ndarray         # (B, K, P, 3) camera-frame object points
+    points_valid: np.ndarray   # (B, K, P)
+    embeddings: np.ndarray     # (B, K, D)
+    frame_descriptors: np.ndarray  # (B, D)
+
+
+class PerceptionFrontend:
+    """Wires the segmentation net + DINOv2 into one batched program."""
+
+    def __init__(self, params: FastSAMParams, camera: CameraParams,
+                 seg_cfg: fastsam.YoloSegConfig = fastsam.FASTSAM_X,
+                 vit_cfg=dinov2.DINOV2_BASE,
+                 seg_variables=None, vit_variables=None, seed: int = 0):
+        self.params = params
+        self.camera = camera
+        self.seg_cfg = seg_cfg
+        self.vit_cfg = vit_cfg
+        self.seg_model = fastsam.YoloSeg(seg_cfg)
+        self.vit_model = dinov2.make_model(vit_cfg)
+        key = jax.random.PRNGKey(seed)
+        H, W = params.imgsz
+        if seg_variables is None:
+            seg_variables = self.seg_model.init(
+                key, jnp.zeros((1, _r32(H), _r32(W), 3)))
+        if vit_variables is None:
+            gh = (H // vit_cfg.patch) * vit_cfg.patch
+            gw = (W // vit_cfg.patch) * vit_cfg.patch
+            vit_variables = self.vit_model.init(key, jnp.zeros((1, gh, gw, 3)))
+        self.seg_variables = seg_variables
+        self.vit_variables = vit_variables
+        self._jitted = None
+
+    # ------------------------------------------------------------------ #
+    def _build(self):
+        p = self.params
+        cam = self.camera
+        K = jnp.asarray(cam.K, jnp.float32)
+        seg_model, seg_cfg = self.seg_model, self.seg_cfg
+        vit_model, vit_cfg = self.vit_model, self.vit_cfg
+        max_masks = p.max_masks_per_frame
+        n_pts = p.max_points_per_mask
+
+        def fn(seg_vars, vit_vars, images, depths):
+            B, H, W, _ = images.shape
+            # --- segmentation (FastSAM everything mode) ---
+            seg_in = jax.image.resize(
+                images, (B, _r32(p.imgsz[0]), _r32(p.imgsz[1]), 3), "bilinear")
+            masks_s, boxes, scores, keep = fastsam.segment_everything(
+                seg_model, seg_vars, seg_in, seg_cfg,
+                conf=p.conf, iou=p.iou, max_masks=max_masks)
+            # resize masks to full image resolution
+            masks = jax.image.resize(
+                masks_s.astype(jnp.float32), (B, max_masks, H, W), "nearest") > 0.5
+
+            # --- mask filtering (fastsam_wrapper.py:486-575) ---
+            area = jnp.sum(masks, axis=(-2, -1))
+            min_area = (min(H, W) / p.min_mask_len_div) ** 2
+            max_area = (max(H, W) / p.max_mask_len_div) ** 2
+            ok = keep & (area >= min_area) & (area <= max_area)
+            # edge contact: reject masks touching the image border
+            edge = (
+                jnp.any(masks[..., 0, :], axis=-1) | jnp.any(masks[..., -1, :], axis=-1)
+                | jnp.any(masks[..., :, 0], axis=-1) | jnp.any(masks[..., :, -1], axis=-1)
+            )
+            ok = ok & ~edge
+
+            # --- per-pixel DINO features + frame descriptor ---
+            gh = (H // vit_cfg.patch) * vit_cfg.patch
+            gw = (W // vit_cfg.patch) * vit_cfg.patch
+            vit_in = jax.image.resize(images, (B, gh, gw, 3), "bilinear")
+            vit_in = (vit_in - jnp.asarray(dinov2.IMAGENET_MEAN)) / jnp.asarray(
+                dinov2.IMAGENET_STD)
+            _, patches = vit_model.apply(vit_vars, vit_in)
+            pix_feats = upsample_patch_features(patches.astype(jnp.float32), H, W)
+            emb = jax.vmap(masked_mean_embedding)(pix_feats, masks)  # (B, K, D)
+            emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9)
+            fdesc = frame_descriptor(patches.astype(jnp.float32),
+                                     p.frame_descriptor or "dino-gem")
+
+            # --- depth -> object point clouds (fastsam_wrapper.py:340-384) ---
+            pts_img = depth_image_to_points(depths, K)  # (B, H, W, 3)
+            depth_ok = (depths > 1e-3)
+            near_ok = depths <= p.max_depth
+
+            def lift_one(masks_k, pts, d_ok, n_ok):
+                def lift_mask(m):
+                    sel = m & d_ok
+                    # max_depth rejection: <25% of points within max_depth
+                    n_all = jnp.sum(sel)
+                    n_near = jnp.sum(sel & n_ok)
+                    frac_ok = n_near >= 0.25 * jnp.maximum(n_all, 1)
+                    sel = sel & n_ok
+                    # subsample to fixed capacity via top_k on masked score
+                    flat = sel.reshape(-1)
+                    scores = flat.astype(jnp.float32) * (
+                        1.0 + 0.5 * _hash01(jnp.arange(flat.shape[0])))
+                    _, idx = jax.lax.top_k(scores, n_pts)
+                    pv = flat[idx] & (n_all > 0) & frac_ok
+                    return pts.reshape(-1, 3)[idx], pv
+
+                return jax.vmap(lift_mask)(masks_k)
+
+            pts_k, pts_v = jax.vmap(lift_one)(masks, pts_img, depth_ok, near_ok)
+            # voxel downsample each mask's points (fastsam_wrapper.py:367)
+            pts_k, pts_v = voxel_downsample(pts_k, pts_v, p.voxel_size)
+
+            # plane filter via OBB extents (fastsam_wrapper.py:373-384):
+            # reject if extents look like [big, big, thin]
+            vol, extent = obb_volume_extent(pts_k, pts_v)
+            e = jnp.sort(extent, axis=-1)  # ascending
+            a, b, c = p.plane_filter_params
+            plane = (e[..., 2] > a) & (e[..., 1] > b) & (e[..., 0] < c)
+            n_valid_pts = jnp.sum(pts_v, axis=-1)
+            ok = ok & ~plane & (n_valid_pts > 0)
+
+            return dict(masks=masks, valid=ok, points=pts_k, points_valid=pts_v,
+                        embeddings=emb, frame_descriptors=fdesc)
+
+        return jax.jit(fn)
+
+    def run_batch(self, images: np.ndarray, depths: np.ndarray) -> PerceptionOutput:
+        """images (B, H, W, 3) float [0,1]; depths (B, H, W) meters."""
+        if self._jitted is None:
+            self._jitted = self._build()
+        out = self._jitted(self.seg_variables, self.vit_variables,
+                           jnp.asarray(images, jnp.float32), jnp.asarray(depths, jnp.float32))
+        out = jax.tree.map(np.asarray, out)
+        return PerceptionOutput(**out)
+
+    def observations(self, out: PerceptionOutput, times, poses) -> List[List[Observation]]:
+        """Unpack padded device outputs into per-frame Observation lists
+        (the Mapper's input contract, mapper.py:47)."""
+        all_obs: List[List[Observation]] = []
+        for b in range(len(out.valid)):
+            frame_obs = []
+            for k in np.flatnonzero(out.valid[b]):
+                pv = out.points_valid[b, k].astype(bool)
+                if not pv.any():
+                    continue
+                frame_obs.append(
+                    Observation(
+                        time=float(times[b]),
+                        pose=np.asarray(poses[b]),
+                        mask=out.masks[b, k],
+                        mask_downsampled=out.masks[
+                            b, k, :: self.params.mask_downsample_factor,
+                            :: self.params.mask_downsample_factor],
+                        point_cloud=out.points[b, k][pv],
+                        semantic_descriptor=out.embeddings[b, k],
+                    )
+                )
+            all_obs.append(frame_obs)
+        return all_obs
+
+
+def _r32(x: int) -> int:
+    return max(32, (int(x) // 32) * 32)
+
+
+def _hash01(i: jnp.ndarray) -> jnp.ndarray:
+    """Cheap deterministic per-index jitter in [0,1) for subsampling."""
+    h = (i * 48271) % 65536
+    return h.astype(jnp.float32) / 65536.0

@@ -112,13 +112,15 @@ def parse_g2o(path_or_lines) -> G2OGraph:
         tok = line.split()
         if tok[0] == "VERTEX_SE3:QUAT":
             assert len(tok) == 9, f"bad vertex line: {line}"
-            vertices[int(tok[1])] = np.array([float(x) for x in tok[2:9]])
+            vertices[_strip_to_int(tok[1])] = np.array([float(x) for x in tok[2:9]])
         elif tok[0] == "EDGE_SE3:QUAT":
             assert len(tok) == 31, f"bad edge line: {line}"
+            # vertex tokens may carry letter prefixes ('a0 b5' in the LC
+            # writer, results.py:185) — strip like g2o_file_fusion.py:70-71
             edges.append(
                 G2OEdge(
-                    v1=int(tok[1]),
-                    v2=int(tok[2]),
+                    v1=_strip_to_int(tok[1]),
+                    v2=_strip_to_int(tok[2]),
                     xyz_quat=np.array([float(x) for x in tok[3:10]]),
                     info_upper=np.array([float(x) for x in tok[10:31]]),
                     lc_count=pending_lc,

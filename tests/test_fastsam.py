@@ -1,0 +1,87 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from roman_tpu.perception import fastsam
+
+
+def test_dfl_decode():
+    # put all probability mass at bin 5 -> expected distance 5
+    logits = np.full((1, 4 * 8), -20.0, np.float32)
+    for k in range(4):
+        logits[0, k * 8 + 5] = 20.0
+    out = np.asarray(fastsam.dfl_decode(jnp.asarray(logits), 8))
+    np.testing.assert_allclose(out, np.full((1, 4), 5.0), atol=1e-4)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.asarray(
+        [[[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60], [0, 0, 0, 0]]],
+        jnp.float32,
+    )
+    scores = jnp.asarray([[0.9, 0.8, 0.7, 0.0]])
+    idx, keep = fastsam.nms_topk(boxes, scores, conf=0.5, iou_thresh=0.5, max_out=4)
+    kept_boxes = np.asarray(jnp.take_along_axis(boxes, idx[..., None], axis=1))[0][
+        np.asarray(keep)[0]
+    ]
+    assert len(kept_boxes) == 2
+    assert (kept_boxes[0] == [0, 0, 10, 10]).all()
+    assert (kept_boxes[1] == [50, 50, 60, 60]).all()
+
+
+def test_mask_assembly_crops_to_box():
+    B, Hp, Wp, nm = 1, 8, 8, 4
+    proto = jnp.ones((B, Hp, Wp, nm), jnp.float32)
+    coeffs = jnp.ones((B, 1, nm), jnp.float32) * 2  # sigmoid(8) ~ 1
+    boxes = jnp.asarray([[[4.0, 4.0, 12.0, 12.0]]])
+    masks = np.asarray(fastsam.assemble_masks(proto, coeffs, boxes, (16, 16)))[0, 0]
+    assert masks[5, 5] and masks[11, 11]
+    assert not masks[0, 0] and not masks[15, 15]
+
+
+def test_yolo_seg_shapes_and_jit(rng):
+    cfg = fastsam.TINY_TEST
+    model = fastsam.YoloSeg(cfg)
+    x = jnp.asarray(rng.uniform(size=(2, 96, 128, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    masks, boxes, scores, keep = jax.jit(
+        lambda v, im: fastsam.segment_everything(model, v, im, cfg, conf=0.0,
+                                                 iou=0.9, max_masks=8)
+    )(variables, x)
+    assert masks.shape == (2, 8, 96, 128)
+    assert boxes.shape == (2, 8, 4)
+    assert scores.shape == (2, 8)
+
+
+def test_perception_frontend_end_to_end(rng):
+    """Synthetic RGB-D scene through the full batched front-end (random
+    segmentation weights: checks shapes, filtering and lifting logic)."""
+    from roman_tpu.data.camera import CameraParams
+    from roman_tpu.params.fastsam_params import FastSAMParams
+    from roman_tpu.perception.dinov2 import DINOV2_SMALL
+    from roman_tpu.perception.wrapper import PerceptionFrontend
+    import dataclasses
+
+    cam = CameraParams.simple(width=128, height=96, f=100.0)
+    params = FastSAMParams(imgsz=(96, 128), max_masks_per_frame=8,
+                           max_points_per_mask=64, max_depth=7.5,
+                           min_mask_len_div=30, max_mask_len_div=2)
+    vit_cfg = dataclasses.replace(DINOV2_SMALL, width=64, depth=2, heads=4,
+                                  img_size=84, dtype=jnp.float32)
+    fe = PerceptionFrontend(params, cam, seg_cfg=fastsam.TINY_TEST, vit_cfg=vit_cfg)
+    imgs = rng.uniform(size=(2, 96, 128, 3)).astype(np.float32)
+    depths = np.full((2, 96, 128), 3.0, np.float32)
+    out = fe.run_batch(imgs, depths)
+    assert out.masks.shape == (2, 8, 96, 128)
+    assert out.embeddings.shape == (2, 8, 64)
+    assert out.frame_descriptors.shape == (2, 64)
+    # embeddings of valid masks are unit norm
+    for b, k in zip(*np.nonzero(out.valid)):
+        np.testing.assert_allclose(np.linalg.norm(out.embeddings[b, k]), 1.0, atol=1e-3)
+    obs = fe.observations(out, times=[0.0, 0.1], poses=[np.eye(4)] * 2)
+    assert len(obs) == 2
+    for frame in obs:
+        for o in frame:
+            assert o.point_cloud.shape[1] == 3
+            # lifted points respect max_depth
+            assert (o.point_cloud[:, 2] <= params.max_depth + 1e-3).all()

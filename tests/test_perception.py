@@ -1,0 +1,88 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_dinov2_matches_transformers(rng):
+    """Numerical parity of the flax ViT + converter against transformers'
+    Dinov2Model on a tiny random-weight config (no downloads needed)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Dinov2Config, Dinov2Model
+
+    from roman_tpu.perception import dinov2
+    from roman_tpu.perception.vit import ViT, ViTConfig
+
+    tcfg = Dinov2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, patch_size=14, image_size=56,
+        layerscale_value=0.5,
+    )
+    torch.manual_seed(0)
+    tmodel = Dinov2Model(tcfg).eval()
+
+    jcfg = ViTConfig(width=32, depth=2, heads=4, patch=14, img_size=56,
+                     layerscale=True, dtype=jnp.float32)
+    params = dinov2.convert_torch_state_dict(tmodel.state_dict(), jcfg)
+
+    img = rng.uniform(size=(2, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        tout = tmodel(torch.tensor(img.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+
+    cls_out, patches = ViT(jcfg).apply(params, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(cls_out), tout[:, 0], atol=2e-4)
+    got_patches = np.asarray(patches).reshape(2, -1, 32)
+    np.testing.assert_allclose(got_patches, tout[:, 1:], atol=2e-4)
+
+
+def test_clip_matches_transformers(rng):
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    from roman_tpu.perception import clip as clip_mod
+    from roman_tpu.perception.vit import ViT, ViTConfig
+
+    tcfg = CLIPVisionConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, patch_size=14, image_size=56,
+        projection_dim=16, hidden_act="quick_gelu",
+    )
+    torch.manual_seed(1)
+    tmodel = CLIPVisionModelWithProjection(tcfg).eval()
+
+    jcfg = ViTConfig(width=32, depth=2, heads=4, patch=14, img_size=56,
+                     layerscale=False, quick_gelu=True, pre_ln=True,
+                     proj_dim=16, patch_bias=False, ln_eps=1e-5, dtype=jnp.float32)
+    params = clip_mod.convert_torch_state_dict(tmodel.state_dict(), jcfg)
+
+    img = rng.uniform(size=(2, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        tout = tmodel(torch.tensor(img.transpose(0, 3, 1, 2))).image_embeds.numpy()
+    cls_out, _ = ViT(jcfg).apply(params, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(cls_out), tout, atol=2e-4)
+
+
+def test_pos_embed_interpolation(rng):
+    from roman_tpu.perception.vit import ViT, ViTConfig
+
+    cfg = ViTConfig(width=32, depth=1, heads=4, patch=14, img_size=56,
+                    dtype=jnp.float32)
+    model = ViT(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 3)))
+    # different input resolution than the pos-embed grid
+    cls_out, patches = model.apply(params, jnp.zeros((1, 112, 84, 3)))
+    assert patches.shape == (1, 8, 6, 32)
+
+
+def test_frame_descriptor_pooling(rng):
+    from roman_tpu.perception.frame_descriptor import frame_descriptor
+
+    patches = jnp.asarray(rng.uniform(size=(2, 8, 8, 16)).astype(np.float32))
+    gap = np.asarray(frame_descriptor(patches, "dino-gap"))
+    gmp = np.asarray(frame_descriptor(patches, "dino-gmp"))
+    gem = np.asarray(frame_descriptor(patches, "dino-gem"))
+    p = np.asarray(patches).reshape(2, -1, 16)
+    np.testing.assert_allclose(gap, p.mean(axis=1), rtol=1e-5)
+    np.testing.assert_allclose(gmp, p.max(axis=1), rtol=1e-5)
+    ref_gem = (np.clip(p, 1e-6, None) ** 3).mean(axis=1) ** (1 / 3)
+    np.testing.assert_allclose(gem, ref_gem, rtol=1e-4)
