@@ -58,6 +58,7 @@ class RegistrationConfig:
     roll_pitch_thresh: float = float(np.deg2rad(5))
     ransac_iter: int = 4096
     max_clique: int = 64
+    use_pallas: bool = False  # VMEM-resident pallas solve (TPU only)
     solver: clipper_mod.ClipperSolveParams = dataclasses.field(
         default_factory=clipper_mod.ClipperSolveParams
     )
@@ -168,7 +169,8 @@ def register_clipper(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationCo
         )
         M4 = jnp.where(keep, M4, 0.0)
     max_clique = min(cfg.max_clique, min(f1.capacity, f2.capacity))
-    sel, count, u, F = clipper_mod.solve_and_round(M4, valid, max_clique, cfg.solver)
+    sel, count, u, F = clipper_mod.solve_and_round(
+        M4, valid, max_clique, cfg.solver, use_pallas=cfg.use_pallas)
     T = _t_align_from_selection(f1, f2, sel)
     ok = count >= cfg.dim
     return RegistrationResult(sel=sel, count=count, T_align=T, ok=ok, u=u, score=F)

@@ -118,59 +118,62 @@ class PairGridRegistrar:
             return res
 
     def _get_jitted(self, sig):
+        """One compiled program processing ALL chunks: lax.map over the
+        chunk axis keeps peak memory at one chunk while giving a single
+        dispatch + a single result fetch (host<->device round trips on this
+        deployment cost ~1s each regardless of size, so dispatch/fetch
+        COUNT dominates the wall clock)."""
         if sig not in self._jitted:
             fn = self._registration_fn()
+            shard = None
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
 
-                def sharded(feats1, feats2, ids1_all, ids2_all, idx_i, idx_j, key):
-                    idx_i = jax.lax.with_sharding_constraint(idx_i, shard)
-                    idx_j = jax.lax.with_sharding_constraint(idx_j, shard)
-                    return fn(feats1, feats2, ids1_all, ids2_all, idx_i, idx_j, key)
+            def all_chunks(feats1, feats2, ids1_all, ids2_all, idx_i, idx_j, key):
+                # idx_i/idx_j: (n_chunks, C)
+                def one(chunk):
+                    ci, cj = chunk
+                    if shard is not None:
+                        ci = jax.lax.with_sharding_constraint(ci, shard)
+                        cj = jax.lax.with_sharding_constraint(cj, shard)
+                    return fn(feats1, feats2, ids1_all, ids2_all, ci, cj, key)
 
-                self._jitted[sig] = jax.jit(sharded)
-            else:
-                self._jitted[sig] = jax.jit(fn)
+                return jax.lax.map(one, (idx_i, idx_j))
+
+            self._jitted[sig] = jax.jit(all_chunks)
         return self._jitted[sig]
 
     def __call__(self, feats1, feats2, ids1_all, ids2_all, pair_i, pair_j,
                  seed: int = 0) -> RegistrationResult:
         """feats*: SubmapFeatures over all submaps of each robot;
         pair_i/pair_j: (P,) submap indices to register. Returns batched
-        RegistrationResult as numpy-backed arrays of length P.
-
-        All chunks are dispatched asynchronously (device gathers inside the
-        jit); host sync happens once at the end."""
+        RegistrationResult as numpy-backed arrays of length P."""
         import jax.numpy as jnp
 
         P = len(pair_i)
-        C = self.chunk_size
-        out = []
-        key = jax.random.PRNGKey(seed)
-        ids1_d = jnp.asarray(ids1_all)
-        ids2_d = jnp.asarray(ids2_all)
-        fn = self._get_jitted((C,))
-        for s in range(0, max(P, 1), C):
-            idx_i = pair_i[s: s + C]
-            idx_j = pair_j[s: s + C]
-            pad = C - len(idx_i)
-            if pad:
-                idx_i = np.concatenate([idx_i, np.zeros(pad, np.int64)])
-                idx_j = np.concatenate([idx_j, np.zeros(pad, np.int64)])
-            res = fn(feats1, feats2, ids1_d, ids2_d,
-                     jnp.asarray(idx_i, jnp.int32), jnp.asarray(idx_j, jnp.int32), key)
-            out.append((res, pad))
-        if not out:
+        if P == 0:
             return None
-        results = []
-        for res, pad in out:  # single sync point: device -> host copies
-            res = jax.tree.map(np.asarray, res)
-            if pad:
-                res = jax.tree.map(lambda x: x[: C - pad], res)
-            results.append(res)
-        return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *results)
+        C = self.chunk_size
+        n_chunks = (P + C - 1) // C
+        total = n_chunks * C
+        idx_i = np.zeros(total, np.int32)
+        idx_j = np.zeros(total, np.int32)
+        idx_i[:P] = pair_i
+        idx_j[:P] = pair_j
+        key = jax.random.PRNGKey(seed)
+        fn = self._get_jitted((C, n_chunks))
+        res = fn(feats1, feats2, jnp.asarray(ids1_all), jnp.asarray(ids2_all),
+                 jnp.asarray(idx_i.reshape(n_chunks, C)),
+                 jnp.asarray(idx_j.reshape(n_chunks, C)), key)
+        # drop the (P, n, m) solver certificate before fetching — fetch
+        # latency is per-array on this deployment and u is debug-only
+        res = res.replace(u=res.count)
+        res = jax.tree.map(np.asarray, res)  # one fetch per field
+        return jax.tree.map(
+            lambda x: x.reshape((total,) + x.shape[2:])[:P], res
+        )
 
 
 def submap_align(sm_params: SubmapAlignParams, sm_io: SubmapAlignInputOutput,

@@ -1,0 +1,87 @@
+"""Image/depth sequence loading.
+
+Standalone replacement for robotdatapy's ImgData (reference
+data_params.py:200-294 loads ROS bags / zips; no ROS here). Supported
+sources: npz archives (images uint8 (T,H,W,3), depths (T,H,W) float,
+times (T,)) and directories of image files named <t_ns>.png with an
+optional depth/ subdir. nearest-time indexing mirrors
+ImgData.nearest_time/img usage (reference run.py:129-138).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ImgData:
+    times: np.ndarray                    # (T,)
+    images: np.ndarray                   # (T, H, W, 3) uint8
+    depths: Optional[np.ndarray] = None  # (T, H, W) float meters
+
+    def __post_init__(self):
+        order = np.argsort(self.times)
+        self.times = np.asarray(self.times)[order]
+        self.images = np.asarray(self.images)[order]
+        if self.depths is not None:
+            self.depths = np.asarray(self.depths)[order]
+
+    @classmethod
+    def from_npz(cls, path: str, depth_scale: float = 1.0) -> "ImgData":
+        arr = np.load(os.path.expanduser(path))
+        depths = arr["depths"].astype(np.float32) / depth_scale if "depths" in arr else None
+        return cls(times=arr["times"], images=arr["images"], depths=depths)
+
+    @classmethod
+    def from_dir(cls, path: str, depth_subdir: str = "depth",
+                 depth_scale: float = 1000.0) -> "ImgData":
+        import cv2 as cv
+
+        path = os.path.expanduser(path)
+        files = sorted(
+            f for f in os.listdir(path)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        times, imgs, depths = [], [], []
+        ddir = os.path.join(path, depth_subdir)
+        has_depth = os.path.isdir(ddir)
+        for f in files:
+            stem = os.path.splitext(f)[0]
+            try:
+                t = float(stem) * (1e-9 if len(stem) > 12 else 1.0)
+            except ValueError:
+                continue
+            img = cv.imread(os.path.join(path, f), cv.IMREAD_COLOR)
+            if img is None:
+                continue
+            times.append(t)
+            imgs.append(img[..., ::-1])  # BGR -> RGB
+            if has_depth:
+                d = cv.imread(os.path.join(ddir, f), cv.IMREAD_UNCHANGED)
+                depths.append(np.asarray(d, np.float32) / depth_scale)
+        return cls(
+            times=np.asarray(times),
+            images=np.stack(imgs),
+            depths=np.stack(depths) if depths else None,
+        )
+
+    def idx(self, t) -> np.ndarray:
+        t = np.atleast_1d(np.asarray(t, np.float64))
+        return np.argmin(np.abs(self.times[None, :] - t[:, None]), axis=1)
+
+    def nearest(self, t):
+        """(images, depths) at the nearest frames to times t."""
+        i = self.idx(t)
+        return self.images[i], (self.depths[i] if self.depths is not None else None)
+
+    @property
+    def t0(self):
+        return float(self.times[0])
+
+    @property
+    def tf(self):
+        return float(self.times[-1])

@@ -197,6 +197,83 @@ class PerceptionFrontend:
         return all_obs
 
 
+def apply_label_filters(masks: jax.Array, valid: jax.Array,
+                        ignore_boxes: Optional[jax.Array] = None,
+                        keep_boxes: Optional[jax.Array] = None,
+                        ignore_frac: float = 0.5,
+                        keep_frac: float = 0.5):
+    """Label-box mask filtering (reference fastsam_wrapper.py:440-484).
+
+    A detector (e.g. the YOLO head with nc>1, standing in for the
+    reference's YOLOv7) supplies per-frame boxes:
+    - ignore_boxes (B, I, 4) xyxy (zero rows = padding): a mask is dropped
+      when more than ignore_frac of its area falls inside any ignore box
+      (the 'person' filter).
+    - keep_boxes (B, K2, 4): with use_keep_labels, a mask must have at
+      least keep_frac of its area inside some keep box
+      (keep-mask intersection fraction, fastsam_wrapper.py:560).
+    """
+    B, K, H, W = masks.shape
+    ys = jnp.arange(H, dtype=jnp.float32)[None, None, None, :, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, None, None, :]
+
+    def frac_in_boxes(boxes):
+        # boxes (B, nb, 4) -> (B, K) max fraction of mask inside any box
+        x1 = boxes[..., 0][:, None, :, None, None]
+        y1 = boxes[..., 1][:, None, :, None, None]
+        x2 = boxes[..., 2][:, None, :, None, None]
+        y2 = boxes[..., 3][:, None, :, None, None]
+        inbox = (xs >= x1) & (xs <= x2) & (ys >= y1) & (ys <= y2)  # (B,1,nb,H,W)
+        inter = jnp.sum(masks[:, :, None].astype(jnp.float32) * inbox, axis=(-2, -1))
+        area = jnp.maximum(jnp.sum(masks, axis=(-2, -1)), 1.0)[:, :, None]
+        return jnp.max(inter / area, axis=-1)  # (B, K)
+
+    ok = valid
+    if ignore_boxes is not None:
+        ok = ok & (frac_in_boxes(ignore_boxes) < ignore_frac)
+    if keep_boxes is not None:
+        ok = ok & (frac_in_boxes(keep_boxes) >= keep_frac)
+    return ok
+
+
+def erode_masks(masks: jax.Array, size: int) -> jax.Array:
+    """Binary erosion with a (size, size) kernel (fastsam_wrapper erosion):
+    min-pool = NOT(max-pool(NOT(mask)))."""
+    if size <= 1:
+        return masks
+    import flax.linen as nn
+
+    inv = (~masks).astype(jnp.float32)
+    B, K, H, W = masks.shape
+    pooled = nn.max_pool(
+        inv.reshape(B * K, H, W, 1), (size, size), strides=(1, 1),
+        padding=((size // 2, size // 2), (size // 2, size // 2)),
+    ).reshape(B, K, H, W)
+    return pooled < 0.5
+
+
+def triangle_ignore_mask(triangles, H: int, W: int) -> np.ndarray:
+    """Static pixel mask from triangle regions (reference
+    fastsam_params.triangle_ignore_masks, applied at
+    fastsam_wrapper.py:426-438); True = ignored pixel."""
+    import cv2 as cv
+
+    mask = np.zeros((H, W), np.uint8)
+    for tri in triangles or []:
+        pts = np.asarray(tri, np.int32).reshape(-1, 1, 2)
+        cv.fillPoly(mask, [pts], 1)
+    return mask.astype(bool)
+
+
+def rotate_images(images: jax.Array, how: Optional[str]):
+    """Image rotation pre-processing ('CW', 'CCW', '180'; reference
+    fastsam_wrapper.py:420-438)."""
+    if how is None:
+        return images
+    k = {"CCW": 1, "180": 2, "CW": 3}[how]
+    return jnp.rot90(images, k=k, axes=(1, 2))
+
+
 def _r32(x: int) -> int:
     return max(32, (int(x) // 32) * 32)
 

@@ -39,7 +39,8 @@ def _unit(v, axis=-1):
     return v / np.maximum(np.linalg.norm(v, axis=axis, keepdims=True), 1e-12)
 
 
-def random_objects(rng, n, area=(40.0, 40.0, 3.0), n_classes=16, desc_dim=768):
+def random_objects(rng, n, area=(40.0, 40.0, 3.0), n_classes=32, desc_dim=768,
+                   instance_noise=0.25):
     centers = rng.uniform(size=(n, 3)) * np.asarray(area)
     # shape eigenvalue profiles -> attributes
     e = np.sort(rng.uniform(0.05, 1.0, size=(n, 3)), axis=1)[:, ::-1]
@@ -52,7 +53,11 @@ def random_objects(rng, n, area=(40.0, 40.0, 3.0), n_classes=16, desc_dim=768):
     extent = np.sort(rng.lognormal(mean=0.0, sigma=0.5, size=(n, 3)), axis=1)
     protos = _unit(rng.normal(size=(n_classes, desc_dim)))
     cls = rng.integers(0, n_classes, size=n)
-    desc = _unit(protos[cls] + 0.15 * rng.normal(size=(n, desc_dim)))
+    # class prototype + an instance-specific offset, with noise norms (not
+    # per-component sigmas) controlled so the structure is comparable across
+    # descriptor dimensions: same-instance cross-view cosine ~0.97+,
+    # same-class different-instance ~0.85 (DINO-like discriminability)
+    desc = _unit(protos[cls] + instance_noise * _unit(rng.normal(size=(n, desc_dim))))
     return dict(centers=centers, pca=pca, volume=volume, extent=extent, desc=desc,
                 cls=cls, protos=protos)
 
@@ -99,7 +104,8 @@ def make_pair_problem(
         pca = np.clip(world["pca"][idx] * (1 + rng.normal(size=(len(idx), 3)) * shape_noise), 1e-3, 1.0)
         vol = world["volume"][idx] * (1 + rng.normal(size=len(idx)) * shape_noise)
         ext = world["extent"][idx] * (1 + rng.normal(size=(len(idx), 3)) * shape_noise)
-        desc = _unit(world["desc"][idx] + rng.normal(size=(len(idx), world["desc"].shape[1])) * desc_noise)
+        dn = _unit(rng.normal(size=(len(idx), world["desc"].shape[1]))) * desc_noise
+        desc = _unit(world["desc"][idx] + dn)
         return c, pca, np.abs(vol), np.abs(ext), desc
 
     c1, pca1, vol1, ext1, d1 = view(idx1, None)
@@ -280,7 +286,8 @@ def make_multi_robot_world(
                 seg_pca=np.clip(world["pca"][ids] * (1 + rng.normal(size=(k, 3)) * shape_noise), 1e-3, 1.0),
                 seg_volume=np.abs(world["volume"][ids] * (1 + rng.normal(size=k) * shape_noise)),
                 seg_extent=np.abs(world["extent"][ids] * (1 + rng.normal(size=(k, 3)) * shape_noise)),
-                seg_desc=_unit(world["desc"][ids] + rng.normal(size=(k, world["desc"].shape[1])) * desc_noise),
+                seg_desc=_unit(world["desc"][ids]
+                               + _unit(rng.normal(size=(k, world["desc"].shape[1]))) * desc_noise),
                 seg_first_seen=times[first[ids]],
                 seg_last_seen=times[last[ids]],
                 seg_world_id=ids,

@@ -1,0 +1,72 @@
+"""End-to-end pipeline gate: the reference's only CI signal is the full
+demo with an ATE-RMSE threshold (.github/workflows/roman.yml:102-117,
+ATE < 1.5 m on recorded data). Equivalent here: a compact synthetic
+2-robot world through demo/demo.py; gate on loop closures found + final
+ATE, scaled to the sim's odometry drift."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def demo_output(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    params = tmp / "params"
+    params.mkdir()
+    with open(params / "data.yaml", "w") as f:
+        yaml.dump({
+            "runs": ["robot0", "robot1"],
+            "dt": 0.25,
+            "img_data_params": {
+                "type": "sim", "seed": 3, "n_robots": 2, "n_objects": 400,
+                "area": [70.0, 70.0, 4.0], "traj_len": 80.0, "desc_dim": 32,
+            },
+        }, f)
+    with open(params / "submap_align.yaml", "w") as f:
+        yaml.dump({"method": "roman", "semantics_dim": 32,
+                   "submap_max_size": 25, "cosine_min": 0.5,
+                   "cosine_max": 0.9}, f)
+    with open(params / "mapper.yaml", "w") as f:
+        yaml.dump({"min_2d_iou": None, "min_sightings": 2,
+                   "max_t_no_sightings": 0.6,
+                   "geometric_score_range": [0.15, 1.0],
+                   "min_max_extent": 0.05}, f)
+    out = tmp / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "demo", "demo.py"),
+         "-p", str(params), "-o", str(out), "--cpu"],
+        capture_output=True, text=True, timeout=1500, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return out
+
+
+def test_artifact_tree(demo_output):
+    out = demo_output
+    for p in ["map/robot0.pkl", "map/robot1.pkl", "map/robot0.time.txt",
+              "align/robot0_robot1/align.g2o", "align/robot0_robot1/align.png",
+              "offline_rpgo/result.g2o", "offline_rpgo/result.png",
+              "offline_rpgo/robot0.csv", "offline_rpgo/ate_rmse.txt",
+              "params/data.yaml"]:
+        assert (out / p).exists(), p
+
+
+def test_loop_closures_found(demo_output):
+    g2o = (demo_output / "align" / "robot0_robot1" / "align.g2o").read_text()
+    n_lc = g2o.count("EDGE_SE3:QUAT")
+    assert n_lc >= 3, f"only {n_lc} cross-robot loop closures"
+
+
+def test_ate_gate(demo_output):
+    """CI acceptance gate (roman.yml ATE < 1.5 m analog; threshold scaled
+    to this sim's odometry drift + shorter trajectories)."""
+    ate = float((demo_output / "offline_rpgo" / "ate_rmse.txt").read_text())
+    assert np.isfinite(ate)
+    assert ate < 3.0, f"ATE RMSE {ate} too high"
