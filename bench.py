@@ -182,6 +182,31 @@ def run_baseline(feats, cfg, n_sample=3):
     return 1.0 / dt
 
 
+def run_perception_bench(batch=8, height=480, width=640, repeats=3):
+    """Optional second metric: perception front-end frames/sec
+    (segmentation + DINOv2 + lifting; the reference's per-frame torch
+    pipeline is 'slower than real-time without GPU', README.md:78-80)."""
+    import numpy as np
+
+    from roman_tpu.data.camera import CameraParams
+    from roman_tpu.params.fastsam_params import FastSAMParams
+    from roman_tpu.perception.wrapper import PerceptionFrontend
+
+    cam = CameraParams.simple(width=width, height=height)
+    params = FastSAMParams(imgsz=(256, 256), batch_frames=batch,
+                           max_masks_per_frame=64, max_points_per_mask=256)
+    fe = PerceptionFrontend(params, cam)
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(size=(batch, height, width, 3)).astype(np.float32)
+    depths = rng.uniform(1.0, 6.0, size=(batch, height, width)).astype(np.float32)
+    fe.run_batch(imgs, depths)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        fe.run_batch(imgs, depths)
+    dt = (time.perf_counter() - t0) / repeats
+    return batch / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=32)
@@ -189,6 +214,9 @@ def main():
     ap.add_argument("--desc-dim", type=int, default=768)
     ap.add_argument("--baseline-samples", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="force jax to CPU")
+    ap.add_argument("--perception", action="store_true",
+                    help="also measure perception frames/sec (adds a large "
+                         "one-time compile)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -200,7 +228,7 @@ def main():
     P, pps, res = run_tpu(feats, auxs, cfg, chunk_size=args.chunk,
                           repeats=args.repeats)
     base_pps = run_baseline(feats, cfg, n_sample=args.baseline_samples)
-    print(json.dumps({
+    record = {
         "metric": "submap_align_pairs_per_sec",
         "value": round(pps, 2),
         "unit": "pairs/s",
@@ -209,7 +237,10 @@ def main():
         "baseline_pairs_per_sec": round(base_pps, 3),
         "submap_capacity": 40,
         "desc_dim": args.desc_dim,
-    }))
+    }
+    if args.perception:
+        record["perception_frames_per_sec"] = round(run_perception_bench(), 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -176,6 +176,46 @@ def register_clipper(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationCo
     return RegistrationResult(sel=sel, count=count, T_align=T, ok=ok, u=u, score=F)
 
 
+def get_MCA(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationConfig):
+    """Affinity M (N,N), constraint C (N,N), and the all-to-all association
+    list A (N,2) — the ObjectRegistration.get_MCA surface
+    (object_registration.py:50-55). C is materialized here only for API
+    parity; the solver never builds it."""
+    p = cfg.invariant_params(f1.ratio_feats.shape[-1])
+    M4, _ = invariants.affinity(f1, f2, p)
+    n, m = f1.capacity, f2.capacity
+    N = n * m
+    M = M4.reshape(M4.shape[:-4] + (N, N))
+    a = jnp.arange(N) // m
+    b = jnp.arange(N) % m
+    conflict = (a[:, None] == a[None, :]) ^ (b[:, None] == b[None, :])
+    C = (~conflict).astype(jnp.float32)
+    A = jnp.stack([a, b], axis=-1)
+    return M, C, A
+
+
+def mno_clipper(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationConfig,
+                num_solutions: int = 2):
+    """Multiple non-overlapping CLIPPER solutions: solve, zero out the
+    solved clique's rows/cols in M, re-solve (object_registration.py:57-86).
+    Returns a list of (sel_mask, count, score)."""
+    p = cfg.invariant_params(f1.ratio_feats.shape[-1])
+    M4, _ = invariants.affinity(f1, f2, p)
+    valid = f1.valid[..., :, None] & f2.valid[..., None, :]
+    max_clique = min(cfg.max_clique, min(f1.capacity, f2.capacity))
+    solutions = []
+    for _ in range(num_solutions):
+        sel, count, u, F = clipper_mod.solve_and_round(M4, valid, max_clique,
+                                                       cfg.solver)
+        solutions.append((sel, count, F))
+        # zero the solved associations' rows/cols for the next solution
+        picked = sel
+        keep = ~(picked[..., :, :, None, None] | picked[..., None, None, :, :])
+        M4 = jnp.where(keep, M4, 0.0)
+        valid = valid & ~picked
+    return solutions
+
+
 def register_clipper_prune(f1: SubmapFeatures, f2: SubmapFeatures,
                            cfg: RegistrationConfig,
                            pca_attrs1=None, volume1=None,

@@ -20,8 +20,8 @@ class OfflineRPGOParams:
     # solver knobs (TPU-native robust PGO replacing the RpgoReadG2o
     # subprocess, demo/demo.py:246-250); gnc_inlier_cost mirrors Kimera's
     # PCM/GNC odometry-consistency gate at 0.9 confidence
-    gnc_iters: int = 10
-    gn_iters: int = 12
+    gnc_iters: int = 8
+    gn_iters: int = 6
     pcm_gate: bool = True
 
     @classmethod

@@ -38,9 +38,13 @@ from roman_tpu.perception.vit import upsample_patch_features
 
 @dataclasses.dataclass
 class PerceptionOutput:
-    """Padded device outputs for a batch of frames."""
+    """Padded device outputs for a batch of frames. Masks are returned at
+    mask_downsample_factor resolution — full-resolution masks are consumed
+    on device (embedding + lifting) and never shipped to the host (the
+    fetch would dominate: 8 frames x 64 masks x 480x640 bool is ~160 MB
+    over a ~1 s-latency link)."""
 
-    masks: np.ndarray          # (B, K, H, W) bool
+    masks: np.ndarray          # (B, K, H/f, W/f) bool (downsampled)
     valid: np.ndarray          # (B, K)
     points: np.ndarray         # (B, K, P, 3) camera-frame object points
     points_valid: np.ndarray   # (B, K, P)
@@ -157,7 +161,9 @@ class PerceptionFrontend:
             n_valid_pts = jnp.sum(pts_v, axis=-1)
             ok = ok & ~plane & (n_valid_pts > 0)
 
-            return dict(masks=masks, valid=ok, points=pts_k, points_valid=pts_v,
+            f = p.mask_downsample_factor
+            masks_ds = masks[:, :, ::f, ::f]
+            return dict(masks=masks_ds, valid=ok, points=pts_k, points_valid=pts_v,
                         embeddings=emb, frame_descriptors=fdesc)
 
         return jax.jit(fn)
@@ -185,10 +191,8 @@ class PerceptionFrontend:
                     Observation(
                         time=float(times[b]),
                         pose=np.asarray(poses[b]),
-                        mask=out.masks[b, k],
-                        mask_downsampled=out.masks[
-                            b, k, :: self.params.mask_downsample_factor,
-                            :: self.params.mask_downsample_factor],
+                        mask=None,
+                        mask_downsampled=out.masks[b, k],
                         point_cloud=out.points[b, k][pv],
                         semantic_descriptor=out.embeddings[b, k],
                     )

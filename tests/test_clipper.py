@@ -153,3 +153,23 @@ def test_empty_submap():
     f2 = registration.build_features(z, jnp.ones(cap, bool), cfg)
     res = registration.register_clipper(f1, f2, cfg)
     assert int(res.count) == 0 and not bool(res.ok)
+
+
+def test_get_mca_and_mno_clipper():
+    rng = np.random.default_rng(21)
+    p = world.make_pair_problem(rng, n_common=10, n_only1=5, n_only2=5,
+                                center_noise=0.05, desc_dim=16)
+    cfg = registration.RegistrationConfig(method="roman", cos_min=0.5, cos_max=0.9)
+    pads = world.pad_problem(p, 20)
+    f1, f2 = features_from_problem(pads, cfg)
+    M, C, A = registration.get_MCA(f1, f2, cfg)
+    N = 20 * 20
+    assert M.shape == (N, N) and C.shape == (N, N) and A.shape == (N, 2)
+    # constraint: same row different col is a conflict
+    assert float(C[0, 1]) == 0.0 and float(C[0, 21]) == 1.0
+
+    sols = registration.mno_clipper(f1, f2, cfg, num_solutions=2)
+    (sel1, c1, s1), (sel2, c2, s2) = sols
+    assert int(c1) >= int(c2)
+    # solutions are non-overlapping
+    assert not bool(jnp.any(sel1 & sel2))

@@ -72,7 +72,8 @@ def test_perception_frontend_end_to_end(rng):
     imgs = rng.uniform(size=(2, 96, 128, 3)).astype(np.float32)
     depths = np.full((2, 96, 128), 3.0, np.float32)
     out = fe.run_batch(imgs, depths)
-    assert out.masks.shape == (2, 8, 96, 128)
+    f = params.mask_downsample_factor
+    assert out.masks.shape == (2, 8, 96 // f, 128 // f)
     assert out.embeddings.shape == (2, 8, 64)
     assert out.frame_descriptors.shape == (2, 64)
     # embeddings of valid masks are unit norm

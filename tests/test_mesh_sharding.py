@@ -1,0 +1,41 @@
+"""Pair-grid sharding over the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from roman_tpu.align.registration import RegistrationConfig
+from roman_tpu.align.submap_align import PairGridRegistrar
+from roman_tpu.map.roman_map import submaps_to_features, SubmapParams, submaps_from_roman_map
+from roman_tpu.parallel.mesh import get_mesh
+from roman_tpu.sim import world
+
+
+def test_registrar_sharded_matches_unsharded(rng):
+    assert len(jax.devices()) >= 8, "conftest should force 8 CPU devices"
+    _, runs = world.make_multi_robot_world(
+        rng, n_robots=2, n_objects=250, area=(60.0, 60.0, 4.0),
+        traj_len=60.0, desc_dim=16,
+    )
+    maps = [world.roman_map_from_run(r) for r in runs]
+    cfg = RegistrationConfig(method="roman", cos_min=0.5, cos_max=0.9)
+    params = SubmapParams(max_size=16, radius=12.0, distance=10.0)
+    submaps = [submaps_from_roman_map(m, params) for m in maps]
+    feats, auxs = zip(*[
+        submaps_to_features(sm, cfg, capacity=16, desc_dim=16) for sm in submaps
+    ])
+    n0 = feats[0].centers.shape[0]
+    n1 = feats[1].centers.shape[0]
+    pi, pj = np.meshgrid(np.arange(n0), np.arange(n1), indexing="ij")
+    pi, pj = pi.reshape(-1), pj.reshape(-1)
+
+    plain = PairGridRegistrar(cfg, chunk_size=8)
+    res0 = plain(feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"], pi, pj)
+
+    mesh = get_mesh(8)
+    sharded = PairGridRegistrar(cfg, chunk_size=8, mesh=mesh)
+    res1 = sharded(feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"], pi, pj)
+
+    np.testing.assert_array_equal(res0.count, res1.count)
+    np.testing.assert_array_equal(res0.sel, res1.sel)
+    np.testing.assert_allclose(res0.T_align, res1.T_align, atol=1e-4)

@@ -86,3 +86,20 @@ def test_frame_descriptor_pooling(rng):
     np.testing.assert_allclose(gmp, p.max(axis=1), rtol=1e-5)
     ref_gem = (np.clip(p, 1e-6, None) ** 3).mean(axis=1) ** (1 / 3)
     np.testing.assert_allclose(gem, ref_gem, rtol=1e-4)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, rng):
+    import jax
+    from roman_tpu.perception.checkpoints import save_params, load_params
+    from roman_tpu.perception.vit import ViT, ViTConfig
+
+    cfg = ViTConfig(width=32, depth=1, heads=4, patch=14, img_size=56,
+                    dtype=jnp.float32)
+    model = ViT(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 3)))
+    path = str(tmp_path / "ckpt")
+    save_params(params, path)
+    restored = load_params(path, like=params)
+    a = model.apply(params, jnp.ones((1, 56, 56, 3)))[0]
+    b = model.apply(restored, jnp.ones((1, 56, 56, 3)))[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))

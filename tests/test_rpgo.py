@@ -133,3 +133,21 @@ def test_edit_information():
             np.testing.assert_allclose(e.info, g2o_io.information_matrix(2.0, 0.1))
         else:
             np.testing.assert_allclose(e.info, g2o_io.information_matrix(0.1, np.deg2rad(0.5)))
+
+
+def test_g2o_utils_change_frame_and_rm(rng):
+    from roman_tpu.rpgo.g2o_utils import g2o_change_frame, rm_robots
+    from roman_tpu.sim.world import yaw_T
+
+    graph, _ = make_two_robot_graph(np.random.default_rng(4), n=6, n_lc=2)
+    T = yaw_T(0.7, np.array([5.0, -1.0, 2.0]))
+    out = g2o_change_frame(graph, T)
+    k = symbol("a", 0)
+    T0 = graph.vertex_T(k)
+    np.testing.assert_allclose(out.vertex_T(k), T @ T0, atol=1e-9)
+    assert len(out.edges) == len(graph.edges)
+
+    only_a = rm_robots(graph, ["a"])
+    assert all(g2o_io.symbol_chr(key) == "a" for key in only_a.vertices)
+    assert all(g2o_io.symbol_chr(e.v1) == "a" and g2o_io.symbol_chr(e.v2) == "a"
+               for e in only_a.edges)
