@@ -212,7 +212,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--desc-dim", type=int, default=768)
-    ap.add_argument("--baseline-samples", type=int, default=3)
+    ap.add_argument("--baseline-samples", type=int, default=8)
     ap.add_argument("--cpu", action="store_true", help="force jax to CPU")
     ap.add_argument("--perception", action="store_true",
                     help="also measure perception frames/sec (adds a large "

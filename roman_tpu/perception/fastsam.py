@@ -22,6 +22,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,6 +208,105 @@ class YoloSeg(nn.Module):
 # ---------------------------------------------------------------------------
 # decode + postprocess (batched, static shapes)
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# ultralytics weight conversion
+# ---------------------------------------------------------------------------
+
+# module-index layout of the ultralytics yolov8*-seg config (FastSAM uses it
+# unchanged): backbone 0-9, neck 12/15/16/18/19/21, Segment head 22
+_UL_BACKBONE = {0: "b0", 1: "b1", 2: "b2", 3: "b3", 4: "b4", 5: "b5",
+                6: "b6", 7: "b7", 8: "b8", 9: "b9"}
+_UL_NECK = {12: "n12", 15: "n15", 16: "n16", 18: "n18", 19: "n19", 21: "n21"}
+
+
+def _conv_bn(sd, prefix):
+    w = sd[f"{prefix}.conv.weight"]
+    return {
+        "conv": {"kernel": np.transpose(np.asarray(w), (2, 3, 1, 0))},
+        "bn": {
+            "scale": np.asarray(sd[f"{prefix}.bn.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bn.bias"]),
+            "mean": np.asarray(sd[f"{prefix}.bn.running_mean"]),
+            "var": np.asarray(sd[f"{prefix}.bn.running_var"]),
+        },
+    }
+
+
+def _split_params_stats(tree):
+    """Split {'conv','bn'} dicts into flax params / batch_stats trees."""
+    params, stats = {}, {}
+    for name, sub in tree.items():
+        if set(sub) == {"conv", "bn"}:
+            params[name] = {"conv": sub["conv"],
+                            "bn": {"scale": sub["bn"]["scale"], "bias": sub["bn"]["bias"]}}
+            stats[name] = {"bn": {"mean": sub["bn"]["mean"], "var": sub["bn"]["var"]}}
+        elif isinstance(sub, dict) and ("kernel" in sub or "bias" in sub):
+            params[name] = sub
+        else:
+            p, s = _split_params_stats(sub)
+            params[name] = p
+            if s:
+                stats[name] = s
+    return params, stats
+
+
+def convert_ultralytics_state_dict(sd, cfg: YoloSegConfig) -> dict:
+    """ultralytics yolov8-seg 'model.{idx}.*' state_dict -> flax variables
+    for YoloSeg ({'params': ..., 'batch_stats': ...}).
+
+    Works on the raw tensor dict (torch tensors or numpy arrays); loading
+    an ultralytics .pt requires only torch (weights_only=False pickles are
+    rejected — export the state_dict first when using official FastSAM-x
+    checkpoints)."""
+    # strip the leading 'model.' that ultralytics uses
+    sd = { (k[6:] if k.startswith("model.") else k): v for k, v in sd.items() }
+
+    def c2f(prefix, n):
+        out = {"cv1": _conv_bn(sd, f"{prefix}.cv1"),
+               "cv2": _conv_bn(sd, f"{prefix}.cv2")}
+        for i in range(n):
+            out[f"m{i}"] = {
+                "cv1": _conv_bn(sd, f"{prefix}.m.{i}.cv1"),
+                "cv2": _conv_bn(sd, f"{prefix}.m.{i}.cv2"),
+            }
+        return out
+
+    tree = {}
+    for idx, name in _UL_BACKBONE.items():
+        if name in ("b2", "b4", "b6", "b8"):
+            n = {"b2": cfg.n(3), "b4": cfg.n(6), "b6": cfg.n(6), "b8": cfg.n(3)}[name]
+            tree[name] = c2f(str(idx), n)
+        elif name == "b9":
+            tree[name] = {"cv1": _conv_bn(sd, "9.cv1"), "cv2": _conv_bn(sd, "9.cv2")}
+        else:
+            tree[name] = _conv_bn(sd, str(idx))
+    for idx, name in _UL_NECK.items():
+        if name in ("n16", "n19"):
+            tree[name] = _conv_bn(sd, str(idx))
+        else:
+            tree[name] = c2f(str(idx), cfg.n(3))
+    # Segment head (module 22): proto + per-level cv2/cv3/cv4 lists
+    tree["proto"] = {
+        "cv1": _conv_bn(sd, "22.proto.cv1"),
+        "cv2": _conv_bn(sd, "22.proto.cv2"),
+        "cv3": {"kernel": np.transpose(np.asarray(sd["22.proto.cv3.weight"]), (2, 3, 1, 0)),
+                "bias": np.asarray(sd["22.proto.cv3.bias"])},
+    }
+    for lvl in range(3):
+        head = {}
+        for branch, ours in [("cv2", "cv2"), ("cv3", "cv3"), ("cv4", "cv4")]:
+            for k in range(2):
+                head[f"{ours}_{k}"] = _conv_bn(sd, f"22.{branch}.{lvl}.{k}")
+            wkey = f"22.{branch}.{lvl}.2"
+            head[f"{ours}_2"] = {
+                "kernel": np.transpose(np.asarray(sd[f"{wkey}.weight"]), (2, 3, 1, 0)),
+                "bias": np.asarray(sd[f"{wkey}.bias"]),
+            }
+        tree[f"head{lvl}"] = head
+    params, stats = _split_params_stats(tree)
+    return {"params": params, "batch_stats": stats}
+
 
 def dfl_decode(box_logits: jax.Array, reg_max: int) -> jax.Array:
     """(..., 4*reg_max) -> (..., 4) expected ltrb distances (in stride units)."""

@@ -86,3 +86,69 @@ def test_perception_frontend_end_to_end(rng):
             assert o.point_cloud.shape[1] == 3
             # lifted points respect max_depth
             assert (o.point_cloud[:, 2] <= params.max_depth + 1e-3).all()
+
+
+def test_ultralytics_converter_structure(rng):
+    """Build a synthetic ultralytics-layout state_dict with the right
+    shapes (derived by inverting the converter's transforms against our
+    init tree) and check the converter reproduces the exact flax variable
+    structure + shapes."""
+    import jax
+
+    cfg = fastsam.TINY_TEST
+    model = fastsam.YoloSeg(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    # invert: flax tree -> ultralytics key/value dict
+    inv_backbone = {v: k for k, v in fastsam._UL_BACKBONE.items()}
+    inv_neck = {v: k for k, v in fastsam._UL_NECK.items()}
+
+    sd = {}
+
+    def emit_conv_bn(prefix, p, s):
+        sd[f"model.{prefix}.conv.weight"] = np.transpose(
+            np.asarray(p["conv"]["kernel"]), (3, 2, 0, 1))
+        sd[f"model.{prefix}.bn.weight"] = np.asarray(p["bn"]["scale"])
+        sd[f"model.{prefix}.bn.bias"] = np.asarray(p["bn"]["bias"])
+        sd[f"model.{prefix}.bn.running_mean"] = np.asarray(s["bn"]["mean"])
+        sd[f"model.{prefix}.bn.running_var"] = np.asarray(s["bn"]["var"])
+
+    def emit(prefix, ptree, stree):
+        if set(ptree) == {"conv", "bn"}:
+            emit_conv_bn(prefix, ptree, stree)
+            return
+        if "kernel" in ptree:
+            sd[f"model.{prefix}.weight"] = np.transpose(
+                np.asarray(ptree["kernel"]), (3, 2, 0, 1))
+            if "bias" in ptree:
+                sd[f"model.{prefix}.bias"] = np.asarray(ptree["bias"])
+            return
+        for name, sub in ptree.items():
+            child = name
+            if name.startswith("m") and name[1:].isdigit():
+                child = f"m.{name[1:]}"
+            emit(f"{prefix}.{child}", sub, stree.get(name, {}))
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    for name, p in params.items():
+        if name in inv_backbone:
+            emit(str(inv_backbone[name]), p, stats.get(name, {}))
+        elif name in inv_neck:
+            emit(str(inv_neck[name]), p, stats.get(name, {}))
+        elif name == "proto":
+            emit("22.proto", p, stats.get(name, {}))
+        elif name.startswith("head"):
+            lvl = name[-1]
+            for branch in ("cv2", "cv3", "cv4"):
+                for k in range(3):
+                    emit(f"22.{branch}.{lvl}.{k}", p[f"{branch}_{k}"],
+                         stats.get(name, {}).get(f"{branch}_{k}", {}))
+
+    converted = fastsam.convert_ultralytics_state_dict(sd, cfg)
+    matches = jax.tree.map(lambda a, b: tuple(a.shape) == tuple(b.shape),
+                           variables, converted)
+    assert jax.tree.all(matches)
+    # converted weights actually run
+    out = model.apply(converted, jnp.zeros((1, 64, 64, 3)))
+    assert out["proto"].shape[0] == 1
