@@ -38,6 +38,9 @@ def build_workload(seed=0, n_objects=1000, traj_len=240.0, desc_dim=768,
     _, runs = world.make_multi_robot_world(
         rng, n_robots=2, n_objects=n_objects, area=(100.0, 100.0, 4.0),
         traj_len=traj_len, desc_dim=desc_dim,
+        # VIO-grade drift (~0.2%/m): LC correctness vs GT then reflects
+        # registration quality instead of accumulated odometry drift
+        odom_drift_per_m=0.002,
     )
     maps = [world.roman_map_from_run(r) for r in runs]
     params = SubmapParams(max_size=max_size, radius=15.0, distance=10.0)
@@ -47,7 +50,41 @@ def build_workload(seed=0, n_objects=1000, traj_len=240.0, desc_dim=768,
         submaps_to_features(sm, cfg, capacity=max_size, desc_dim=desc_dim)
         for sm in submaps
     ])
-    return submaps, feats, auxs, cfg
+    return submaps, feats, auxs, cfg, runs
+
+
+def compute_lc_quality(res, auxs, runs, pair_i, pair_j, min_assoc=4,
+                       dist_thresh=5.0, angle_thresh_deg=10.0, radius=15.0):
+    """Loop-closure precision/recall on the bench workload against sim
+    ground truth (positive = GT submap distance < 2*radius; correct =
+    registration error within thresholds after yaw-only projection)."""
+    from roman_tpu.data.pose_data import PoseData
+    from roman_tpu.ops import se3_np
+
+    gt_pd = [PoseData.from_times_and_poses(r.times, r.poses, time_tol=10.0)
+             for r in runs]
+    T_gt = []
+    for k, aux in enumerate(auxs):
+        T = np.stack([gt_pd[k].pose(float(t)) for t in aux["times"]])
+        T_gt.append(se3_np.transform_rm_roll_pitch(T))
+    tp = fp = fn = 0
+    for idx, (i, j) in enumerate(zip(pair_i, pair_j)):
+        T_ij = np.linalg.inv(T_gt[0][i]) @ T_gt[1][j]
+        positive = np.linalg.norm(T_ij[:3, 3]) < 2 * radius
+        predicted = bool(res.ok[idx]) and int(res.count[idx]) >= min_assoc
+        if predicted:
+            T_hat = se3_np.transform_rm_roll_pitch(res.T_align[idx])
+            err = np.linalg.inv(T_hat) @ T_ij
+            good = (np.linalg.norm(err[:3, 3]) < dist_thresh
+                    and np.degrees(se3_np.rotation_magnitude(err[:3, :3]))
+                    < angle_thresh_deg)
+        if predicted and positive and good:
+            tp += 1
+        elif predicted:
+            fp += 1
+        elif positive:
+            fn += 1
+    return tp / max(tp + fp, 1), tp / max(tp + fn, 1)
 
 
 def run_tpu(feats, auxs, cfg, chunk_size=32, repeats=2):
@@ -71,7 +108,7 @@ def run_tpu(feats, auxs, cfg, chunk_size=32, repeats=2):
         res = registrar(feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"],
                         pair_i, pair_j)
     dt = (time.perf_counter() - t0) / repeats
-    return P, P / dt, res
+    return P, P / dt, res, pair_i, pair_j
 
 
 # ---------------------------------------------------------------------------
@@ -224,10 +261,11 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    submaps, feats, auxs, cfg = build_workload(desc_dim=args.desc_dim)
-    P, pps, res = run_tpu(feats, auxs, cfg, chunk_size=args.chunk,
-                          repeats=args.repeats)
+    submaps, feats, auxs, cfg, runs = build_workload(desc_dim=args.desc_dim)
+    P, pps, res, pair_i, pair_j = run_tpu(feats, auxs, cfg, chunk_size=args.chunk,
+                                          repeats=args.repeats)
     base_pps = run_baseline(feats, cfg, n_sample=args.baseline_samples)
+    lc_p, lc_r = compute_lc_quality(res, auxs, runs, pair_i, pair_j)
     record = {
         "metric": "submap_align_pairs_per_sec",
         "value": round(pps, 2),
@@ -235,6 +273,8 @@ def main():
         "vs_baseline": round(pps / base_pps, 2),
         "pairs": P,
         "baseline_pairs_per_sec": round(base_pps, 3),
+        "lc_precision": round(lc_p, 3),
+        "lc_recall": round(lc_r, 3),
         "submap_capacity": 40,
         "desc_dim": args.desc_dim,
     }

@@ -1,0 +1,319 @@
+"""Device-resident vectorized segment mapper.
+
+SURVEY §7.6: the reference's mapper is a python object graph updated one
+observation at a time (roman/map/mapper.py). This is the TPU-native
+alternative: the entire segment map lives on device as capacity-padded
+pools (points, descriptors, lifecycle counters), and one jit'd program per
+frame performs association scoring (voxel IOU + cosine), assignment
+(device auction with rejection), point integration with voxel
+downsampling, lifecycle transitions (nursery -> active -> retired), and
+pairwise merging — with no host round trips during a run (state arrays
+stay on device; the map is fetched once at export).
+
+Semantics follow Mapper/MapperParams (GNN thresholds, min_sightings,
+max_t_no_sightings, merge-by-similarity); geometry maintenance is
+simplified relative to the host mapper (no statistical outlier removal or
+DBSCAN retirement pass — the voxel downsample bounds noise instead), so
+the two mappers agree on map content but not bit-for-bit on point sets.
+The host Mapper remains the reference implementation.
+
+Sizing rule: max_points_per_segment must cover an object's occupied voxel
+count at segment_voxel_size — on overflow, voxel_downsample keeps a
+key-ordered (spatially biased) subset and segment centers drift. For the
+default capacity of 256 use segment_voxel_size >= ~0.1 m for meter-scale
+objects (the host mapper has no capacity and can keep the reference's
+0.05 m).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from roman_tpu.data.camera import CameraParams
+from roman_tpu.map.roman_map import RomanMap, SegmentData
+from roman_tpu.ops.geometry import obb_volume_extent, shape_attributes
+from roman_tpu.ops.hungarian import auction_assignment
+from roman_tpu.ops.voxel import voxel_downsample, voxel_iou_points
+from roman_tpu.params.mapper_params import MapperParams
+
+# lifecycle states
+EMPTY, NURSERY, ACTIVE, RETIRED = 0, 1, 2, 3
+
+
+@struct.dataclass
+class MapState:
+    points: jax.Array          # (S, P, 3)
+    points_valid: jax.Array    # (S, P) bool
+    descriptors: jax.Array     # (S, D) running mean (unit)
+    desc_count: jax.Array      # (S,)
+    status: jax.Array          # (S,) int32
+    num_sightings: jax.Array   # (S,)
+    first_seen: jax.Array      # (S,)
+    last_seen: jax.Array       # (S,)
+    seg_id: jax.Array          # (S,) int32 (-1 empty)
+    next_id: jax.Array         # () int32
+
+
+def init_state(capacity: int, points_per_seg: int, desc_dim: int) -> MapState:
+    S, P, D = capacity, points_per_seg, desc_dim
+    return MapState(
+        points=jnp.zeros((S, P, 3), jnp.float32),
+        points_valid=jnp.zeros((S, P), bool),
+        descriptors=jnp.zeros((S, D), jnp.float32),
+        desc_count=jnp.zeros((S,), jnp.float32),
+        status=jnp.zeros((S,), jnp.int32),
+        num_sightings=jnp.zeros((S,), jnp.int32),
+        first_seen=jnp.zeros((S,), jnp.float32),
+        last_seen=jnp.full((S,), -1e9, jnp.float32),
+        seg_id=jnp.full((S,), -1, jnp.int32),
+        next_id=jnp.zeros((), jnp.int32),
+    )
+
+
+class BatchMapper:
+    def __init__(self, params: MapperParams, camera: CameraParams,
+                 desc_dim: int = 64, obs_capacity: int = 32):
+        self.params = params
+        self.camera = camera
+        self.desc_dim = desc_dim
+        self.obs_capacity = obs_capacity
+        self.state = init_state(params.max_segments, params.max_points_per_segment,
+                                desc_dim)
+        self.poses: List[np.ndarray] = []
+        self.times: List[float] = []
+        self.frame_descriptors: List[np.ndarray] = []
+        self._step = self._build()
+
+    # ------------------------------------------------------------------ #
+    def _build(self):
+        p = self.params
+        S = p.max_segments
+        P = p.max_points_per_segment
+        O = self.obs_capacity
+        vs_iou = p.iou_voxel_size
+        vs_seg = p.segment_voxel_size
+        geo_lo, geo_hi = p.geometric_score_range
+        use_sem = p.semantic_association_method is not None
+        sem_lo, sem_hi = p.semantic_score_range
+        iom = p.geometric_association_method == "iom"
+
+        @jax.jit
+        def step(state: MapState, t, obs_pts, obs_valid, obs_desc, obs_mask):
+            """obs_pts (O, Q, 3) world frame; obs_valid (O, Q); obs_desc
+            (O, D); obs_mask (O,) real observations."""
+            live = state.status > EMPTY
+            trackable = (state.status == NURSERY) | (state.status == ACTIVE)
+
+            # ---- association scores (segment x observation) ----
+            iou = voxel_iou_points(
+                state.points[:, None], state.points_valid[:, None],
+                obs_pts[None, :, :, :], obs_valid[None, :, :],
+                vs_iou, iom_as_iou=iom,
+            )  # (S, O)
+            geo_norm = (iou - geo_lo) / jnp.maximum(geo_hi - geo_lo, 1e-9)
+            score = geo_norm
+            if use_sem:
+                cos = jnp.einsum("sd,od->so", state.descriptors, obs_desc)
+                sem_norm = (cos - sem_lo) / jnp.maximum(sem_hi - sem_lo, 1e-9)
+                ok_pair = (iou >= geo_lo) & (cos >= sem_lo)
+                score = jnp.sqrt(jnp.maximum(geo_norm * sem_norm, 0.0))
+            else:
+                ok_pair = iou >= geo_lo
+            benefit = jnp.where(
+                ok_pair & trackable[:, None] & obs_mask[None, :], score, 0.0
+            )
+
+            match = auction_assignment(benefit.T, obs_mask, trackable, n_iters=64)
+            # match: (O,) segment slot per observation, -1 unmatched.
+            # route unmatched observations OUT OF BOUNDS (mode="drop"
+            # discards them) — routing them to slot 0 would clobber real
+            # scatters there (at[].set is last-writer-wins)
+            matched = match >= 0
+            seg_of_obs = jnp.where(matched, match, S)
+
+            # ---- integrate matched observations ----
+            # scatter obs points into matched segments then re-downsample
+            add_pts = jnp.zeros((S, obs_pts.shape[1], 3), jnp.float32)
+            add_val = jnp.zeros((S, obs_pts.shape[1]), bool)
+            add_pts = add_pts.at[seg_of_obs].set(
+                jnp.where(matched[:, None, None], obs_pts, 0.0), mode="drop")
+            add_val = add_val.at[seg_of_obs].set(
+                obs_valid & matched[:, None], mode="drop")
+            comb_pts = jnp.concatenate([state.points, add_pts], axis=1)
+            comb_val = jnp.concatenate([state.points_valid, add_val], axis=1)
+            new_pts, new_val = voxel_downsample(comb_pts, comb_val, vs_seg, capacity=P)
+            touched = jnp.zeros((S,), bool).at[seg_of_obs].set(matched, mode="drop")
+            points = jnp.where(touched[:, None, None], new_pts, state.points)
+            points_valid = jnp.where(touched[:, None], new_val, state.points_valid)
+
+            # descriptors: running mean
+            add_desc = jnp.zeros((S, obs_desc.shape[1]), jnp.float32).at[
+                seg_of_obs].add(jnp.where(matched[:, None], obs_desc, 0.0), mode="drop")
+            add_cnt = jnp.zeros((S,), jnp.float32).at[seg_of_obs].add(
+                matched.astype(jnp.float32), mode="drop")
+            desc = state.descriptors * state.desc_count[:, None] + add_desc
+            desc_count = state.desc_count + add_cnt
+            desc = desc / jnp.maximum(desc_count[:, None], 1.0)
+            desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+
+            num_sightings = state.num_sightings + touched.astype(jnp.int32)
+            last_seen = jnp.where(touched, t, state.last_seen)
+
+            # ---- lifecycle ----
+            status = state.status
+            # nursery -> active
+            status = jnp.where(
+                (status == NURSERY) & (num_sightings >= p.min_sightings), ACTIVE, status)
+            # unseen too long -> retired (actives) / freed (nursery)
+            stale = live & (t - last_seen > p.max_t_no_sightings)
+            status = jnp.where((status == ACTIVE) & stale, RETIRED, status)
+            status = jnp.where((status == NURSERY) & stale, EMPTY, status)
+
+            # ---- new segments from unmatched observations ----
+            new_obs = obs_mask & ~matched
+            free = status == EMPTY
+            free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank per slot
+            obs_rank = jnp.cumsum(new_obs.astype(jnp.int32)) - 1
+            # slot for each new obs: the obs_rank-th free slot
+            slot_of_rank = jnp.full((O,), S, jnp.int32).at[
+                jnp.where(free, free_rank, O)
+            ].set(jnp.arange(S, dtype=jnp.int32), mode="drop")
+            obs_slot = jnp.where(new_obs, slot_of_rank[jnp.clip(obs_rank, 0, O - 1)], S)
+            can_place = new_obs & (obs_slot < S)
+            tgt = jnp.where(can_place, obs_slot, S)
+
+            def place(arr, vals):
+                return arr.at[tgt].set(vals, mode="drop")
+
+            init_pts = jnp.zeros((O, P, 3), jnp.float32)
+            q = obs_pts.shape[1]
+            init_pts = init_pts.at[:, :q].set(obs_pts[:, :P])
+            init_val = jnp.zeros((O, P), bool).at[:, :q].set(obs_valid[:, :P])
+            points = place(points, init_pts)
+            points_valid = place(points_valid, init_val)
+            dnorm = obs_desc / jnp.maximum(
+                jnp.linalg.norm(obs_desc, axis=-1, keepdims=True), 1e-9)
+            desc = place(desc, dnorm)
+            desc_count = place(desc_count, jnp.ones((O,), jnp.float32))
+            status = place(status, jnp.full((O,), NURSERY, jnp.int32))
+            num_sightings = place(num_sightings, jnp.ones((O,), jnp.int32))
+            first_seen = place(state.first_seen, jnp.full((O,), t, jnp.float32))
+            last_seen = place(last_seen, jnp.full((O,), t, jnp.float32))
+            n_new = jnp.sum(can_place.astype(jnp.int32))
+            new_ids = state.next_id + jnp.cumsum(can_place.astype(jnp.int32)) - 1
+            seg_id = state.seg_id.at[tgt].set(
+                jnp.where(can_place, new_ids, -1), mode="drop")
+
+            # ---- merge: highest-IOU overlapping live pair per frame ----
+            live2 = (status == NURSERY) | (status == ACTIVE)
+            pair_iou = voxel_iou_points(
+                points[:, None], points_valid[:, None],
+                points[None, :], points_valid[None, :], vs_iou, iom_as_iou=iom)
+            upper = jnp.triu(jnp.ones((S, S), bool), 1)
+            mergeable = upper & live2[:, None] & live2[None, :] & (pair_iou >= geo_lo)
+            flat = jnp.where(mergeable, pair_iou, -1.0).reshape(-1)
+            best = jnp.argmax(flat)
+            do_merge = flat[best] > 0
+            a, b = best // S, best % S
+            # merge b into a (a < b by triu): concatenate + downsample
+            mpts = jnp.concatenate([points[a], points[b]], axis=0)
+            mval = jnp.concatenate([points_valid[a] & do_merge,
+                                    points_valid[b] & do_merge], axis=0)
+            md_pts, md_val = voxel_downsample(mpts, mval, vs_seg, capacity=P)
+            points = points.at[a].set(jnp.where(do_merge, md_pts, points[a]))
+            points_valid = points_valid.at[a].set(
+                jnp.where(do_merge, md_val, points_valid[a]))
+            wa = desc_count[a]
+            wb = desc_count[b]
+            mdesc = (desc[a] * wa + desc[b] * wb) / jnp.maximum(wa + wb, 1.0)
+            mdesc = mdesc / jnp.maximum(jnp.linalg.norm(mdesc), 1e-9)
+            desc = desc.at[a].set(jnp.where(do_merge, mdesc, desc[a]))
+            desc_count = desc_count.at[a].add(jnp.where(do_merge, wb, 0.0))
+            num_sightings = num_sightings.at[a].add(
+                jnp.where(do_merge, num_sightings[b], 0))
+            first_seen = first_seen.at[a].min(
+                jnp.where(do_merge, first_seen[b], jnp.inf))
+            last_seen = last_seen.at[a].max(
+                jnp.where(do_merge, last_seen[b], -jnp.inf))
+            seg_id = seg_id.at[a].set(
+                jnp.where(do_merge, jnp.minimum(seg_id[a], seg_id[b]), seg_id[a]))
+            status = status.at[b].set(jnp.where(do_merge, EMPTY, status[b]))
+            seg_id = seg_id.at[b].set(jnp.where(do_merge, -1, seg_id[b]))
+
+            return MapState(
+                points=points, points_valid=points_valid, descriptors=desc,
+                desc_count=desc_count, status=status, num_sightings=num_sightings,
+                first_seen=first_seen, last_seen=last_seen, seg_id=seg_id,
+                next_id=state.next_id + n_new,
+            )
+
+        return step
+
+    # ------------------------------------------------------------------ #
+    def update(self, t: float, pose: np.ndarray, observations,
+               frame_descriptor: Optional[np.ndarray] = None):
+        """Same call contract as Mapper.update (mapper.py:47); observations
+        carry camera-frame point clouds + descriptors."""
+        self.poses.append(np.asarray(pose))
+        self.times.append(float(t))
+        if frame_descriptor is not None:
+            self.frame_descriptors.append(np.asarray(frame_descriptor))
+        O = self.obs_capacity
+        Q = self.params.max_points_per_segment
+        obs_pts = np.zeros((O, Q, 3), np.float32)
+        obs_val = np.zeros((O, Q), bool)
+        obs_desc = np.zeros((O, self.desc_dim), np.float32)
+        obs_mask = np.zeros((O,), bool)
+        for k, obs in enumerate(observations[:O]):
+            pts = obs.transformed_points
+            n = min(len(pts), Q)
+            obs_pts[k, :n] = pts[:n]
+            obs_val[k, :n] = True
+            if obs.semantic_descriptor is not None:
+                d = np.asarray(obs.semantic_descriptor).reshape(-1)[: self.desc_dim]
+                obs_desc[k, : len(d)] = d
+            obs_mask[k] = n > 0
+        self.state = self._step(
+            self.state, jnp.float32(t), jnp.asarray(obs_pts), jnp.asarray(obs_val),
+            jnp.asarray(obs_desc), jnp.asarray(obs_mask))
+
+    def get_roman_map(self) -> RomanMap:
+        """Fetch the pooled map once and export SegmentData records."""
+        s = jax.tree.map(np.asarray, self.state)
+        segments = []
+        live = s.status > EMPTY
+        pts_j = jnp.asarray(s.points)
+        val_j = jnp.asarray(s.points_valid)
+        vol, extent = (np.asarray(x) for x in obb_volume_extent(pts_j, val_j))
+        attrs = np.asarray(shape_attributes(pts_j, val_j))
+        for i in np.flatnonzero(live):
+            pv = s.points_valid[i]
+            if not pv.any():
+                continue
+            pts = s.points[i][pv]
+            segments.append(SegmentData(
+                id=int(s.seg_id[i]),
+                center=pts.mean(axis=0),
+                volume=float(vol[i]),
+                linearity=float(attrs[i, 0]),
+                planarity=float(attrs[i, 1]),
+                scattering=float(attrs[i, 2]),
+                extent=extent[i],
+                semantic_descriptor=s.descriptors[i] if s.desc_count[i] > 0 else None,
+                first_seen=float(s.first_seen[i]),
+                last_seen=float(s.last_seen[i]),
+            ))
+        return RomanMap(
+            segments=segments,
+            trajectory=np.stack(self.poses) if self.poses else np.zeros((0, 4, 4)),
+            times=np.asarray(self.times),
+            descriptors=(np.stack(self.frame_descriptors)
+                         if self.frame_descriptors else None),
+        )

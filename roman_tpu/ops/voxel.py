@@ -76,10 +76,13 @@ def voxel_iou_points(
     k1, n1 = _sorted_unique(voxel_keys(points1, mask1, voxel_size, origin))
     k2, n2 = _sorted_unique(voxel_keys(points2, mask2, voxel_size, origin))
 
-    # membership of k1's uniques in k2's uniques
-    idx = jnp.searchsorted(k2, k1)
-    idx = jnp.clip(idx, 0, k2.shape[-1] - 1)
-    hit = (jnp.take_along_axis(k2, idx, axis=-1) == k1) & (k1 != _INVALID)
+    # membership of k1's uniques in k2's uniques — broadcast compare
+    # (batches over arbitrary leading dims, unlike jnp.searchsorted; at the
+    # point capacities used here the O(n*m) compare is cheap VPU work)
+    hit = jnp.any(
+        (k1[..., :, None] == k2[..., None, :]) & (k1[..., :, None] != _INVALID),
+        axis=-1,
+    )
     inter = jnp.sum(hit, axis=-1)
 
     inter = inter.astype(jnp.float32)
