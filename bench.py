@@ -39,8 +39,11 @@ def build_workload(seed=0, n_objects=1000, traj_len=240.0, desc_dim=768,
         rng, n_robots=2, n_objects=n_objects, area=(100.0, 100.0, 4.0),
         traj_len=traj_len, desc_dim=desc_dim,
         # VIO-grade drift (~0.2%/m): LC correctness vs GT then reflects
-        # registration quality instead of accumulated odometry drift
-        odom_drift_per_m=0.002,
+        # registration quality instead of accumulated odometry drift.
+        # 256 classes + strong instance structure approximates real DINO
+        # discriminability (32 classes over 1000 objects is pathologically
+        # aliased and nothing like recorded environments)
+        odom_drift_per_m=0.002, n_classes=256, instance_noise=0.45,
     )
     maps = [world.roman_map_from_run(r) for r in runs]
     params = SubmapParams(max_size=max_size, radius=15.0, distance=10.0)
@@ -70,6 +73,8 @@ def compute_lc_quality(res, auxs, runs, pair_i, pair_j, min_assoc=4,
     tp = fp = fn = 0
     for idx, (i, j) in enumerate(zip(pair_i, pair_j)):
         T_ij = np.linalg.inv(T_gt[0][i]) @ T_gt[1][j]
+        # positive = submaps that can overlap (centers within 2x submap
+        # radius, the reference's robots_nearby gate, submap_align.py:101)
         positive = np.linalg.norm(T_ij[:3, 3]) < 2 * radius
         predicted = bool(res.ok[idx]) and int(res.count[idx]) >= min_assoc
         if predicted:

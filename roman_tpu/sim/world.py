@@ -217,6 +217,8 @@ def make_multi_robot_world(
     shape_noise: float = 0.05,
     odom_drift_per_m: float = 0.01,
     desc_dim: int = 64,
+    n_classes: int = 32,
+    instance_noise: float = 0.25,
 ):
     """Robots drive smooth random paths through a shared object field.
 
@@ -226,7 +228,8 @@ def make_multi_robot_world(
     submap_align stage (maps in per-robot odom frames + GT poses for
     evaluation, submap_align.py:41-65).
     """
-    world = random_objects(rng, n_objects, area=area, desc_dim=desc_dim)
+    world = random_objects(rng, n_objects, area=area, desc_dim=desc_dim,
+                           n_classes=n_classes, instance_noise=instance_noise)
     n_steps = int(traj_len / speed / dt)
     runs = []
     for r in range(n_robots):
