@@ -201,6 +201,40 @@ class PerceptionFrontend:
         return all_obs
 
 
+def clip_bbox_embeddings(images: jax.Array, boxes: jax.Array, clip_model,
+                         clip_vars, out_size: int = 224):
+    """Per-mask CLIP embeddings from bbox crops (reference
+    fastsam_wrapper.py:393-406): crop each mask's box, resize to the CLIP
+    input size, encode, normalize. Batched over (B frames x K masks) via a
+    per-crop scale_and_translate (no dynamic shapes).
+
+    images: (B, H, W, 3) float [0,1]; boxes: (B, K, 4) xyxy pixels.
+    Returns (B, K, D) unit embeddings.
+    """
+    from roman_tpu.perception.clip import CLIP_MEAN, CLIP_STD
+
+    B, H, W, _ = images.shape
+    K = boxes.shape[1]
+
+    def crop_one(img, box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        w = jnp.maximum(x2 - x1, 1.0)
+        h = jnp.maximum(y2 - y1, 1.0)
+        scale = jnp.stack([out_size / h, out_size / w, 1.0])
+        translation = jnp.stack([-y1 * out_size / h, -x1 * out_size / w, 0.0])
+        return jax.image.scale_and_translate(
+            img, (out_size, out_size, 3), (0, 1, 2), scale, translation,
+            method="linear")
+
+    crops = jax.vmap(lambda img, bxs: jax.vmap(lambda b: crop_one(img, b))(bxs))(
+        images, boxes)  # (B, K, S, S, 3)
+    crops = (crops - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    flat = crops.reshape(B * K, out_size, out_size, 3)
+    cls_out, _ = clip_model.apply(clip_vars, flat)
+    emb = cls_out.reshape(B, K, -1).astype(jnp.float32)
+    return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9)
+
+
 def apply_label_filters(masks: jax.Array, valid: jax.Array,
                         ignore_boxes: Optional[jax.Array] = None,
                         keep_boxes: Optional[jax.Array] = None,

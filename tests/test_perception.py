@@ -103,3 +103,25 @@ def test_orbax_checkpoint_roundtrip(tmp_path, rng):
     a = model.apply(params, jnp.ones((1, 56, 56, 3)))[0]
     b = model.apply(restored, jnp.ones((1, 56, 56, 3)))[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_clip_bbox_embeddings(rng):
+    import jax
+    from roman_tpu.perception.wrapper import clip_bbox_embeddings
+    from roman_tpu.perception.vit import ViT, ViTConfig
+
+    cfg = ViTConfig(width=32, depth=1, heads=4, patch=14, img_size=56,
+                    quick_gelu=True, pre_ln=True, proj_dim=16,
+                    patch_bias=False, ln_eps=1e-5, dtype=jnp.float32,
+                    layerscale=False)
+    model = ViT(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 3)))
+    images = jnp.asarray(rng.uniform(size=(2, 96, 128, 3)).astype(np.float32))
+    boxes = jnp.asarray([[[10.0, 10.0, 60.0, 50.0], [0.0, 0.0, 128.0, 96.0]],
+                         [[30.0, 5.0, 90.0, 80.0], [20.0, 20.0, 40.0, 40.0]]])
+    emb = clip_bbox_embeddings(images, boxes, model, variables, out_size=56)
+    assert emb.shape == (2, 2, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0,
+                               atol=1e-4)
+    # different boxes on the same frame give different embeddings
+    assert not np.allclose(np.asarray(emb[0, 0]), np.asarray(emb[0, 1]))
