@@ -56,11 +56,8 @@ def build_workload(seed=0, n_objects=1000, traj_len=240.0, desc_dim=768,
     return submaps, feats, auxs, cfg, runs
 
 
-def compute_lc_quality(res, auxs, runs, pair_i, pair_j, min_assoc=4,
-                       dist_thresh=5.0, angle_thresh_deg=10.0, radius=15.0):
-    """Loop-closure precision/recall on the bench workload against sim
-    ground truth (positive = GT submap distance < 2*radius; correct =
-    registration error within thresholds after yaw-only projection)."""
+def gt_relative_poses(auxs, runs, pair_i, pair_j):
+    """(P, 4, 4) yaw-only GT relative submap poses for the pair list."""
     from roman_tpu.data.pose_data import PoseData
     from roman_tpu.ops import se3_np
 
@@ -70,15 +67,28 @@ def compute_lc_quality(res, auxs, runs, pair_i, pair_j, min_assoc=4,
     for k, aux in enumerate(auxs):
         T = np.stack([gt_pd[k].pose(float(t)) for t in aux["times"]])
         T_gt.append(se3_np.transform_rm_roll_pitch(T))
+    return np.stack([
+        np.linalg.inv(T_gt[0][i]) @ T_gt[1][j]
+        for i, j in zip(pair_i, pair_j)
+    ])
+
+
+def lc_quality_from_lists(ok, count, T_align, T_ij_all, min_assoc=4,
+                          dist_thresh=5.0, angle_thresh_deg=10.0,
+                          radius=15.0):
+    """Loop-closure precision/recall against sim ground truth (positive =
+    GT submap distance < 2*radius, the reference's robots_nearby gate,
+    submap_align.py:101; correct = registration error within thresholds
+    after yaw-only projection)."""
+    from roman_tpu.ops import se3_np
+
     tp = fp = fn = 0
-    for idx, (i, j) in enumerate(zip(pair_i, pair_j)):
-        T_ij = np.linalg.inv(T_gt[0][i]) @ T_gt[1][j]
-        # positive = submaps that can overlap (centers within 2x submap
-        # radius, the reference's robots_nearby gate, submap_align.py:101)
+    for idx in range(len(ok)):
+        T_ij = T_ij_all[idx]
         positive = np.linalg.norm(T_ij[:3, 3]) < 2 * radius
-        predicted = bool(res.ok[idx]) and int(res.count[idx]) >= min_assoc
+        predicted = bool(ok[idx]) and int(count[idx]) >= min_assoc
         if predicted:
-            T_hat = se3_np.transform_rm_roll_pitch(res.T_align[idx])
+            T_hat = se3_np.transform_rm_roll_pitch(T_align[idx])
             err = np.linalg.inv(T_hat) @ T_ij
             good = (np.linalg.norm(err[:3, 3]) < dist_thresh
                     and np.degrees(se3_np.rotation_magnitude(err[:3, :3]))
@@ -92,9 +102,14 @@ def compute_lc_quality(res, auxs, runs, pair_i, pair_j, min_assoc=4,
     return tp / max(tp + fp, 1), tp / max(tp + fn, 1)
 
 
-def run_tpu(feats, auxs, cfg, chunk_size=32, repeats=2):
-    import jax
+def compute_lc_quality(res, auxs, runs, pair_i, pair_j, **kw):
+    T_ij_all = gt_relative_poses(auxs, runs, pair_i, pair_j)
+    return lc_quality_from_lists(
+        np.asarray(res.ok), np.asarray(res.count), np.asarray(res.T_align),
+        T_ij_all, **kw)
 
+
+def run_tpu(feats, auxs, cfg, chunk_size=32, repeats=2):
     from roman_tpu.align.submap_align import PairGridRegistrar
 
     n0 = feats[0].centers.shape[0]
@@ -105,9 +120,11 @@ def run_tpu(feats, auxs, cfg, chunk_size=32, repeats=2):
     P = len(pair_i)
 
     registrar = PairGridRegistrar(cfg, chunk_size=chunk_size)
-    # warmup / compile
+    # warmup / compile with the FULL pair list: the chunked program's
+    # signature includes n_chunks, so a short warmup call would leave the
+    # real compile inside the timed loop
     registrar(feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"],
-              pair_i[:chunk_size], pair_j[:chunk_size])
+              pair_i, pair_j)
     t0 = time.perf_counter()
     for _ in range(repeats):
         res = registrar(feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"],
@@ -156,72 +173,144 @@ def _np_affinity(c1, r1, d1, c2, r2, d2, sigma, eps, mindist, cmin, cmax):
     return M.reshape(n * m, n * m), single
 
 
-def run_baseline(feats, cfg, n_sample=3):
-    """Serial per-pair solve with the same math + iteration budget."""
-    f1, f2 = feats
-    c1s = np.asarray(f1.centers)
-    r1s = np.asarray(f1.ratio_feats)
-    d1s = np.asarray(f1.descriptors)
-    v1s = np.asarray(f1.valid)
-    c2s = np.asarray(f2.centers)
-    r2s = np.asarray(f2.ratio_feats)
-    d2s = np.asarray(f2.descriptors)
-    v2s = np.asarray(f2.valid)
+def _np_solve_pair(c1, r1, d1, c2, r2, d2, cfg):
+    """One serial reference-equivalent solve: affinity + dense-constraint
+    penalty homotopy + the reference's omega rounding + Arun.
 
-    # sample pairs spread across the grid (representative submap sizes)
+    Returns (sel list of (a, b), T (4, 4) or None)."""
+    n1, n2 = len(c1), len(c2)
+    M, single = _np_affinity(
+        c1, r1, d1, c2, r2, d2,
+        cfg.sigma, cfg.epsilon, cfg.mindist, cfg.cos_min, cfg.cos_max,
+    )
+    N = M.shape[0]
+    u = np.ones(N) / np.sqrt(N)
+    d = 0.0
+    for _ in range(10):  # warmup power iters
+        u = np.maximum(M @ u + u, 0)
+        u /= max(np.linalg.norm(u), 1e-12)
+    # penalty homotopy (Cb matvec done densely as C++ CLIPPER does)
+    ia = np.repeat(np.arange(n1), n2)
+    ib = np.tile(np.arange(n2), n1)
+    conflict = ((ia[:, None] == ia[None, :]) ^ (ib[:, None] == ib[None, :])).astype(np.float64)
+    for _ in range(12):
+        for _ in range(10):
+            g = M @ u - d * (conflict @ u)
+            u = np.maximum(g, 0)
+            nn = np.linalg.norm(u)
+            u = u / nn if nn > 1e-12 else np.ones(N) / np.sqrt(N)
+        Cbu = conflict @ u
+        viol = (u > 1e-6) & (Cbu > 1e-6)
+        if viol.any():
+            d += (M @ u)[viol].sum() / max(Cbu[viol].sum(), 1e-9) + 1e-3
+    # rounding + Arun
+    omega = int(round(u @ (M @ u)))
+    order = np.argsort(-u)[: max(omega, 0)]
+    ra, rb = set(), set()
+    sel = []
+    for idx in order:
+        a_, b_ = divmod(idx, n2)
+        if a_ in ra or b_ in rb or u[idx] <= 0:
+            continue
+        ra.add(a_)
+        rb.add(b_)
+        sel.append((a_, b_))
+    T = None
+    if len(sel) >= 3:
+        p1 = c1[[a for a, _ in sel]]
+        p2 = c2[[b for _, b in sel]]
+        m1, m2 = p1.mean(0), p2.mean(0)
+        H = (p2 - m2).T @ (p1 - m1)
+        U, _, Vh = np.linalg.svd(H)
+        S = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vh))])
+        R = (U @ S @ Vh).T
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = m1 - R @ m2
+    return sel, T
+
+
+def _pair_features(feats, i, j):
+    f1, f2 = feats
+    v1 = np.asarray(f1.valid[i])
+    v2 = np.asarray(f2.valid[j])
+    n1, n2 = int(v1.sum()), int(v2.sum())
+    return (np.asarray(f1.centers[i])[:n1], np.asarray(f1.ratio_feats[i])[:n1],
+            np.asarray(f1.descriptors[i])[:n1],
+            np.asarray(f2.centers[j])[:n2], np.asarray(f2.ratio_feats[j])[:n2],
+            np.asarray(f2.descriptors[j])[:n2])
+
+
+def run_baseline(feats, cfg, n_sample=3):
+    """Serial per-pair solve throughput with the same math + iteration
+    budget (pairs spread across the grid for representative sizes)."""
+    n0 = feats[0].centers.shape[0]
+    n1 = feats[1].centers.shape[0]
     t0 = time.perf_counter()
     for k in range(n_sample):
-        i = (k * len(c1s)) // n_sample
-        j = (k * len(c2s) * 3 // 2) % len(c2s)
-        n1 = int(v1s[i].sum())
-        n2 = int(v2s[j].sum())
-        M, single = _np_affinity(
-            c1s[i][:n1], r1s[i][:n1], d1s[i][:n1],
-            c2s[j][:n2], r2s[j][:n2], d2s[j][:n2],
-            cfg.sigma, cfg.epsilon, cfg.mindist, cfg.cos_min, cfg.cos_max,
-        )
-        N = M.shape[0]
-        u = np.ones(N) / np.sqrt(N)
-        d = 0.0
-        Cb = None
-        for _ in range(10):  # warmup power iters
-            u = np.maximum(M @ u + u, 0)
-            u /= max(np.linalg.norm(u), 1e-12)
-        # penalty homotopy (Cb matvec done densely as C++ CLIPPER does)
-        ia = np.repeat(np.arange(n1), n2)
-        ib = np.tile(np.arange(n2), n1)
-        conflict = ((ia[:, None] == ia[None, :]) ^ (ib[:, None] == ib[None, :])).astype(np.float64)
-        for _ in range(12):
-            for _ in range(10):
-                g = M @ u - d * (conflict @ u)
-                u = np.maximum(g, 0)
-                nn = np.linalg.norm(u)
-                u = u / nn if nn > 1e-12 else np.ones(N) / np.sqrt(N)
-            Cbu = conflict @ u
-            viol = (u > 1e-6) & (Cbu > 1e-6)
-            if viol.any():
-                d += (M @ u)[viol].sum() / max(Cbu[viol].sum(), 1e-9) + 1e-3
-        # rounding + Arun
-        omega = int(round(u @ (M @ u)))
-        order = np.argsort(-u)[: max(omega, 0)]
-        ra, rb = set(), set()
-        sel = []
-        for idx in order:
-            a_, b_ = divmod(idx, n2)
-            if a_ in ra or b_ in rb or u[idx] <= 0:
-                continue
-            ra.add(a_)
-            rb.add(b_)
-            sel.append((a_, b_))
-        if len(sel) >= 3:
-            p1 = c1s[i][[a for a, _ in sel]]
-            p2 = c2s[j][[b for _, b in sel]]
-            m1, m2 = p1.mean(0), p2.mean(0)
-            H = (p1 - m1).T @ (p2 - m2)
-            U, _, Vh = np.linalg.svd(H)
-            R = U @ Vh
+        i = (k * n0) // n_sample
+        j = (k * n1 * 3 // 2) % n1
+        _np_solve_pair(*_pair_features(feats, i, j), cfg)
     dt = (time.perf_counter() - t0) / n_sample
     return 1.0 / dt
+
+
+def run_quality_comparison(feats, auxs, runs, cfg, res, pair_i, pair_j,
+                           n_quality=100, min_assoc=4, seed=0):
+    """Solver-parity evidence: run the serial numpy reference-equivalent
+    over a stratified subset of the SAME pairs the batched engine solved
+    and compare (a) association-set Jaccard, (b) LC decisions at the
+    >=min_assoc threshold, (c) both engines' P/R vs sim GT on the subset.
+
+    The subset is every GT-nearby pair (where loop closures live) plus a
+    random fill of far pairs (where false positives live)."""
+    T_ij_all = gt_relative_poses(auxs, runs, pair_i, pair_j)
+    d_gt = np.linalg.norm(T_ij_all[:, :3, 3], axis=-1)
+    near_idx = np.nonzero(d_gt < 30.0)[0]
+    far_idx = np.nonzero(d_gt >= 30.0)[0]
+    rng = np.random.default_rng(seed)
+    n_fill = max(n_quality - len(near_idx), 0)
+    fill = rng.choice(far_idx, size=min(n_fill, len(far_idx)), replace=False)
+    subset = np.concatenate([near_idx[:n_quality], fill]).astype(int)
+
+    sel_eng = np.asarray(res.sel)
+    cnt_eng = np.asarray(res.count)
+    ok_eng = np.asarray(res.ok)
+    T_eng = np.asarray(res.T_align)
+
+    jaccards = []
+    agree = 0
+    base_ok, base_cnt, base_T = [], [], []
+    for idx in subset:
+        i, j = int(pair_i[idx]), int(pair_j[idx])
+        sel_b, T_b = _np_solve_pair(*_pair_features(feats, i, j), cfg)
+        set_b = set(sel_b)
+        set_e = set(map(tuple, np.argwhere(sel_eng[idx])))
+        union = len(set_b | set_e)
+        jaccards.append(len(set_b & set_e) / union if union else 1.0)
+        lc_b = len(sel_b) >= min_assoc and T_b is not None
+        lc_e = bool(ok_eng[idx]) and int(cnt_eng[idx]) >= min_assoc
+        agree += int(lc_b == lc_e)
+        base_ok.append(T_b is not None)
+        base_cnt.append(len(sel_b))
+        base_T.append(T_b if T_b is not None else np.eye(4))
+
+    T_sub = T_ij_all[subset]
+    base_p, base_r = lc_quality_from_lists(
+        np.array(base_ok), np.array(base_cnt), np.stack(base_T), T_sub,
+        min_assoc=min_assoc)
+    eng_p, eng_r = lc_quality_from_lists(
+        ok_eng[subset], cnt_eng[subset], T_eng[subset], T_sub,
+        min_assoc=min_assoc)
+    return {
+        "quality_pairs": len(subset),
+        "assoc_jaccard_mean": round(float(np.mean(jaccards)), 3),
+        "lc_decision_agreement": round(agree / max(len(subset), 1), 3),
+        "baseline_lc_precision": round(base_p, 3),
+        "baseline_lc_recall": round(base_r, 3),
+        "engine_lc_precision_subset": round(eng_p, 3),
+        "engine_lc_recall_subset": round(eng_r, 3),
+    }
 
 
 def run_perception_bench(batch=8, height=480, width=640, repeats=3):
@@ -255,7 +344,12 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--desc-dim", type=int, default=768)
     ap.add_argument("--baseline-samples", type=int, default=8)
+    ap.add_argument("--quality-pairs", type=int, default=100,
+                    help="pairs for the serial-solver agreement comparison "
+                         "(0 disables)")
     ap.add_argument("--cpu", action="store_true", help="force jax to CPU")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="skip the fused pallas engine (XLA path only)")
     ap.add_argument("--perception", action="store_true",
                     help="also measure perception frames/sec (adds a large "
                          "one-time compile)")
@@ -267,8 +361,28 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     submaps, feats, auxs, cfg, runs = build_workload(desc_dim=args.desc_dim)
-    P, pps, res, pair_i, pair_j = run_tpu(feats, auxs, cfg, chunk_size=args.chunk,
-                                          repeats=args.repeats)
+    P, xla_pps, res_xla, pair_i, pair_j = run_tpu(
+        feats, auxs, cfg, chunk_size=args.chunk, repeats=args.repeats)
+
+    # fused VMEM-resident pallas engine (TPU only; measured ~2.1x the XLA
+    # path on v5e, so it is the headline path when available)
+    pallas_pps, res_pal = None, None
+    if not args.no_pallas and not args.cpu:
+        import dataclasses as _dc
+
+        cfg_pal = _dc.replace(cfg, use_pallas=True)
+        try:
+            _, pallas_pps, res_pal, _, _ = run_tpu(
+                feats, auxs, cfg_pal, chunk_size=args.chunk,
+                repeats=args.repeats)
+        except Exception as e:  # non-TPU backend or Mosaic failure
+            print(f"# pallas path unavailable: {type(e).__name__}: {e}",
+                  flush=True)
+
+    use_pal = pallas_pps is not None and pallas_pps > xla_pps
+    pps = pallas_pps if use_pal else xla_pps
+    res = res_pal if use_pal else res_xla
+
     base_pps = run_baseline(feats, cfg, n_sample=args.baseline_samples)
     lc_p, lc_r = compute_lc_quality(res, auxs, runs, pair_i, pair_j)
     record = {
@@ -277,12 +391,20 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(pps / base_pps, 2),
         "pairs": P,
+        "engine": "pallas_fused" if use_pal else "xla",
+        "xla_pairs_per_sec": round(xla_pps, 2),
         "baseline_pairs_per_sec": round(base_pps, 3),
         "lc_precision": round(lc_p, 3),
         "lc_recall": round(lc_r, 3),
         "submap_capacity": 40,
         "desc_dim": args.desc_dim,
     }
+    if pallas_pps is not None:
+        record["pallas_pairs_per_sec"] = round(pallas_pps, 2)
+    if args.quality_pairs > 0:
+        record.update(run_quality_comparison(
+            feats, auxs, runs, cfg, res, pair_i, pair_j,
+            n_quality=args.quality_pairs))
     if args.perception:
         record["perception_frames_per_sec"] = round(run_perception_bench(), 2)
     print(json.dumps(record))

@@ -114,8 +114,7 @@ def _solve_flat(M, validf, n: int, m: int,
     grid_spec = pl.GridSpec(
         grid=(P,),
         in_specs=[
-            pl.BlockSpec((1, N, N), lambda i: (i, 0, 0), memory_space=pltpu.ANY
-                         if False else pltpu.VMEM),
+            pl.BlockSpec((1, N, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, m), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -1,0 +1,459 @@
+"""Fully fused Pallas registration kernel: affinity + CLIPPER solve +
+rounding + refinement in one VMEM-resident program.
+
+The XLA path (invariants.affinity -> clipper.solve_and_round) materializes
+the (N, N) affinity in HBM and re-reads it ~150x during the power
+iterations plus 6x during refinement; the affinity *build* additionally
+streams several (P, n, m, n, m) f32 intermediates through HBM. This kernel
+instead takes the per-pair object features (centers, shape-ratio features,
+descriptors — a few hundred KB) and produces the selected associations
+directly: the affinity matrix exists only in VMEM (5.1 MB bf16 at
+N=1600), is built once with MXU selector expansions, and every solve /
+refine matvec reads it from VMEM. HBM traffic per pair drops from tens of
+MB to the feature inputs + (n, m) outputs.
+
+Math parity: bit-level structure of roman_tpu.align.invariants.affinity
+(ROMAN invariant of reference roman/align/roman_registration.py:55-96,
+geometric-mean fusion) + clipper.solve_2d / round_greedy /
+refine_selection_2d. Tested against the XLA path in interpret mode.
+
+Kernel structure per grid step (K pairs at once; K amortizes the
+per-iteration loop overhead of the sequential power iterations):
+
+- expansions (n,n)->(N,N) / (m,m)->(N,N) are selector matmuls with the
+  same ROW/COL one-hots used for the rank-structured constraint matvec;
+- per-association scores are computed in (n, m) space and flattened to
+  flat row/column vectors with one small matmul each;
+- pairwise fusion happens in log space, so the sqrt(s_i s_j) endpoint
+  geometric means are row+column adds instead of (N, N) outer products;
+- the projected power iteration, penalty homotopy, greedy rounding and
+  support-based refinement all run on the VMEM-resident bf16 matrix.
+
+Mosaic constraints shape the code: no standalone transposes (every
+feature block is passed in both layouts and flat row/col forms are built
+by swapped broadcasts), no bool matmul operands, and the bf16 affinity is
+staged through a VMEM scratch ref to pin a canonical layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from roman_tpu.align.clipper import ClipperSolveParams
+from roman_tpu.align.clipper_pallas import _selectors
+
+_EPS = 1e-9
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedInvariantStatics:
+    """Static (compile-time) invariant configuration for the kernel."""
+
+    sigma: float = 0.4
+    epsilon: float = 0.6
+    mindist: float = 0.2
+    cos_min: float = 0.85
+    cos_max: float = 1.0
+    eps_shape: float = 0.0
+    gravity: bool = True
+    gravity_unc_ang_rad: float = 0.0872665
+    use_ratio: bool = True
+    use_cosine: bool = True
+    # rounding / refinement (clipper.round_greedy / refine_selection_2d)
+    rel_thresh: float = 0.35
+    refine_iters: int = 6
+    min_support: float = 0.22
+    rel_support: float = 0.5
+    max_clique: int = 64
+
+
+def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
+            c2_ref, c2t_ref, r2_ref, r2t_ref, d2_ref, d2t_ref,
+            valid_ref, validt_ref, row_ref, rowt_ref, col_ref, colt_ref,
+            sel_out, count_out, u_out, f_out, m_scratch,
+            *, n: int, m: int, K: int, inv: FusedInvariantStatics,
+            params: ClipperSolveParams):
+    N = n * m
+    ROW = row_ref[...]           # (N, n) one-hot a-index
+    ROWT = rowt_ref[...]         # (n, N)
+    COL = col_ref[...]           # (N, m) one-hot b-index
+    COLT = colt_ref[...]         # (m, N)
+
+    def expand1(Q):  # symmetric (n, n) -> (N, N): out[i, j] = Q[a_i, a_j]
+        t = jnp.dot(ROW, Q, preferred_element_type=jnp.float32)
+        return jnp.dot(t, ROWT, preferred_element_type=jnp.float32)
+
+    def expand2(Q):  # symmetric (m, m) -> (N, N): out[i, j] = Q[b_i, b_j]
+        t = jnp.dot(COL, Q, preferred_element_type=jnp.float32)
+        return jnp.dot(t, COLT, preferred_element_type=jnp.float32)
+
+    def flat_col(Qt):  # (m, n) transposed layout -> (N, 1): Q[a_i, b_i]
+        t = jnp.dot(COL, Qt.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)        # (N, n)
+        return jnp.sum(ROW * t, axis=1, keepdims=True)
+
+    def flat_row(Q):   # (n, m) -> (1, N): Q[a_i, b_i]
+        t = jnp.dot(Q.astype(jnp.float32), COLT,
+                    preferred_element_type=jnp.float32)        # (n, N)
+        return jnp.sum(ROWT * t, axis=0, keepdims=True)
+
+    def pair_geom(c, ct):
+        # c (k, 3), ct (3, k) -> symmetric distance / |dz| / dxy matrices
+        dx = c[:, 0:1] - ct[0:1, :]
+        dy = c[:, 1:2] - ct[1:2, :]
+        dz = c[:, 2:3] - ct[2:3, :]
+        dxy2 = dx * dx + dy * dy
+        return jnp.sqrt(dxy2 + dz * dz + 1e-20), jnp.abs(dz), jnp.sqrt(dxy2 + 1e-20)
+
+    num_comp = 1 + int(inv.use_ratio) + int(inv.use_cosine)
+    vrows = []
+    for k in range(K):
+        # ---- pairwise distance consistency (invariants.distance_consistency)
+        D1, dz1, dxy1 = pair_geom(c1_ref[k], c1t_ref[k])
+        D2, dz2, dxy2 = pair_geom(c2_ref[k], c2t_ref[k])
+        D1e = expand1(D1)
+        D2e = expand2(D2)
+        gate = (D1e > inv.mindist) & (D2e > inv.mindist)
+        if inv.gravity:
+            slack = np.sin(inv.gravity_unc_ang_rad) * jnp.maximum(D1e, D2e)
+            cz = jnp.maximum(jnp.abs(expand1(dz1) - expand2(dz2)) - slack, 0.0)
+            cxy = jnp.abs(expand1(dxy1) - expand2(dxy2))
+            cdist = jnp.sqrt(cz * cz + cxy * cxy + 1e-20)
+        else:
+            cdist = jnp.abs(D1e - D2e)
+        sd = jnp.exp(-0.5 * (cdist / inv.sigma) ** 2)
+        sd = jnp.where((cdist < inv.epsilon) & gate, sd, 0.0)
+
+        # ---- per-association scores, in both (n, m) and (m, n) layouts ----
+        logM = jnp.log(jnp.maximum(sd, 1e-20))
+        nonzero = sd > 0.0
+        log_single = jnp.zeros((n, m), jnp.float32)
+        single_nz = jnp.ones((n, m), bool)
+
+        def add_assoc_term(s_nm, s_mn):
+            """Fold a per-association score into logM / nonzero (both
+            endpoint geometric means, as row+col adds in log space)."""
+            nonlocal logM, nonzero, log_single, single_nz
+            hl_col = 0.5 * jnp.log(jnp.maximum(flat_col(s_mn), 1e-20))
+            hl_row = 0.5 * jnp.log(jnp.maximum(flat_row(s_nm), 1e-20))
+            logM = logM + hl_col + hl_row
+            nonzero = (nonzero & (flat_col(s_mn) > 1e-20)
+                       & (flat_row(s_nm) > 1e-20))
+            log_single = log_single + jnp.log(jnp.maximum(s_nm, 1e-20))
+            single_nz = single_nz & (s_nm > 0)
+
+        if inv.use_ratio:
+            r1 = r1_ref[k]           # (n, F)
+            r1t = r1t_ref[k]         # (F, n)
+            r2 = r2_ref[k]           # (m, F)
+            r2t = r2t_ref[k]         # (F, m)
+            F = r1.shape[-1]
+
+            def ratio_gm(a_col, b_row, kk, ll):
+                # geometric mean over features of min/max ratios, (kk, ll)
+                logsum = jnp.zeros((kk, ll), jnp.float32)
+                nz = jnp.ones((kk, ll), bool)
+                for f in range(F):
+                    a = jnp.abs(a_col[:, f:f + 1])
+                    b = jnp.abs(b_row[f:f + 1, :])
+                    rho = jnp.minimum(a, b) / jnp.maximum(jnp.maximum(a, b), 1e-9)
+                    rho = jnp.where(rho >= inv.eps_shape, rho, 0.0)
+                    logsum = logsum + jnp.log(jnp.maximum(rho, 1e-20))
+                    nz = nz & (rho > 0)
+                return jnp.exp(logsum / F) * nz
+
+            sr = ratio_gm(r1, r2t, n, m)
+            srT = ratio_gm(r2, r1t, m, n)
+            add_assoc_term(sr, srT)
+        if inv.use_cosine:
+            d1 = d1_ref[k]           # (n, D)
+            d1t = d1t_ref[k]         # (D, n)
+            d2 = d2_ref[k]           # (m, D)
+            d2t = d2t_ref[k]         # (D, m)
+
+            def cos_score(a, bt, kk, ll):
+                dot = jnp.dot(a, bt, preferred_element_type=jnp.float32)
+                na = jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True))      # (kk,1)
+                nb = jnp.sqrt(jnp.sum(bt * bt, axis=0, keepdims=True))    # (1,ll)
+                den = na * nb
+                cos = jnp.where(den > 1e-9, dot / jnp.maximum(den, 1e-9), 1.0)
+                missing = (na < 1e-9) | (nb < 1e-9)
+                s = jnp.clip(
+                    (cos - inv.cos_min) / max(inv.cos_max - inv.cos_min, 1e-9),
+                    0.0, 1.0,
+                )
+                return jnp.where(missing, 1.0, s)
+
+            sc = cos_score(d1, d2t, n, m)
+            scT = cos_score(d2, d1t, m, n)
+            add_assoc_term(sc, scT)
+        M = jnp.exp(logM / num_comp) * nonzero
+
+        n_single = num_comp - 1
+        if n_single > 0:
+            single_nm = jnp.exp(log_single / n_single) * single_nz
+        else:
+            single_nm = jnp.ones((n, m), jnp.float32)
+        validf = valid_ref[k]        # (n, m) f32
+        single_nm = jnp.where(validf > 0.5, single_nm, 0.0)
+
+        # ---- structure masks (conflict / diagonal / validity) ----
+        ia = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        ja = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        same_a = (ia // m) == (ja // m)
+        same_b = (ia % m) == (ja % m)
+        conflict = same_a != same_b
+        diag = same_a & same_b
+        vcol = flat_col(validt_ref[k]) > 0.5                 # (N, 1)
+        vrow = flat_row(validf) > 0.5                        # (1, N)
+        valid4 = vcol & vrow
+        M = jnp.where(conflict | diag | ~valid4, 0.0, M)
+        single_row = flat_row(single_nm)                     # (1, N)
+        M = M + jnp.where(diag & valid4, single_row + 0.0 * M, 0.0)
+        # stage through VMEM scratch: forces a canonical bf16 layout for the
+        # matvec operand (a live computed cast trips Mosaic relayout)
+        m_scratch[k] = M.astype(jnp.bfloat16)
+        vrows.append(vrow.astype(jnp.float32))
+
+    validf = jnp.concatenate(vrows, axis=0)                  # (K, N)
+
+    # ================= CLIPPER solve (clipper.solve_2d semantics) ==========
+    def matvec(u):  # (K, N) f32 -> (K, N) f32, per-pair M_k matvec
+        outs = [
+            jnp.dot(u[k:k + 1].astype(jnp.bfloat16), m_scratch[k],
+                    preferred_element_type=jnp.float32)
+            for k in range(K)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    def cb_matvec(u):  # rank-structured one-to-one constraint matvec
+        rs = jnp.dot(u, ROW, preferred_element_type=jnp.float32)   # (K, n)
+        cs = jnp.dot(u, COL, preferred_element_type=jnp.float32)   # (K, m)
+        back = (
+            jnp.dot(rs, ROWT, preferred_element_type=jnp.float32)
+            + jnp.dot(cs, COLT, preferred_element_type=jnp.float32)
+        )
+        return back - 2.0 * u
+
+    def normalize(u):
+        nrm = jnp.sqrt(jnp.sum(u * u, axis=-1, keepdims=True))
+        return u / jnp.maximum(nrm, _EPS)
+
+    u = normalize(validf + 1e-3)
+
+    def warm_body(_, u):
+        return normalize((matvec(u) + u) * validf)
+
+    u = jax.lax.fori_loop(0, params.warmup_iters, warm_body, u)
+
+    def outer_body(_, carry):
+        u, d = carry
+
+        def inner_body(_, u):
+            g = matvec(u) - d * cb_matvec(u)
+            u_new = jnp.maximum(g, 0.0) * validf
+            nrm = jnp.sqrt(jnp.sum(u_new * u_new, axis=-1, keepdims=True))
+            return jnp.where(nrm > _EPS, u_new / jnp.maximum(nrm, _EPS), u)
+
+        u = jax.lax.fori_loop(0, params.inner_iters, inner_body, u)
+        Mu = matvec(u)
+        Cbu = cb_matvec(u)
+        viol = (u > params.active_eps) & (Cbu > params.active_eps)
+        num = jnp.sum(jnp.where(viol, Mu, 0.0), axis=-1, keepdims=True)
+        den = jnp.sum(jnp.where(viol, Cbu, 0.0), axis=-1, keepdims=True)
+        delta = jnp.where(den > _EPS, num / jnp.maximum(den, _EPS), 0.0)
+        d = d + delta + jnp.where(
+            jnp.any(viol, axis=-1, keepdims=True), 1e-3, 0.0)
+        return u, d
+
+    u, d = jax.lax.fori_loop(
+        0, params.outer_iters, outer_body, (u, jnp.zeros((K, 1), jnp.float32)))
+
+    Mdu = matvec(u) - d * cb_matvec(u)
+    F_val = jnp.sum(u * Mdu, axis=-1, keepdims=True)     # (K, 1)
+
+    # ================= greedy rounding (clipper.round_greedy) ==============
+    max_steps = min(inv.max_clique, min(n, m))
+    u_max = jnp.max(u, axis=-1, keepdims=True)
+    cut = inv.rel_thresh * u_max
+    target = jnp.where(
+        F_val > 0,
+        jnp.clip(jnp.round(F_val * 2.0), 1, max_steps),
+        float(max_steps),
+    )
+    idxs = jax.lax.broadcasted_iota(jnp.int32, (K, N), 1)
+
+    def round_body(_, carry):
+        row_free, col_free, sel, count = carry
+        free = (
+            jnp.dot(row_free, ROWT, preferred_element_type=jnp.float32)
+            * jnp.dot(col_free, COLT, preferred_element_type=jnp.float32)
+        )
+        cand = jnp.where(free > 0.5, u, -1.0)
+        val = jnp.max(cand, axis=-1, keepdims=True)              # (K, 1)
+        first = jnp.min(jnp.where(cand >= val, idxs, N), axis=-1,
+                        keepdims=True)                           # (K, 1)
+        onehot = (idxs == first).astype(jnp.float32)             # (K, N)
+        take = ((val > cut) & (val > 0.0)
+                & (count < target)).astype(jnp.float32)          # (K, 1)
+        sel = sel + onehot * take
+        oh_n = jnp.dot(onehot, ROW, preferred_element_type=jnp.float32)
+        oh_m = jnp.dot(onehot, COL, preferred_element_type=jnp.float32)
+        row_free = row_free * (1.0 - oh_n * take)
+        col_free = col_free * (1.0 - oh_m * take)
+        count = count + take
+        return row_free, col_free, sel, count
+
+    init = (jnp.ones((K, n), jnp.float32), jnp.ones((K, m), jnp.float32),
+            jnp.zeros((K, N), jnp.float32), jnp.zeros((K, 1), jnp.float32))
+    _, _, sel, _ = jax.lax.fori_loop(0, max_steps, round_body, init)
+
+    # ============ support refinement (clipper.refine_selection_2d) =========
+    def refine_body(_, v):
+        kk = jnp.sum(v, axis=-1, keepdims=True)
+        mv = matvec(v)
+        supp = mv / jnp.maximum(kk - 1.0, 1.0)
+        mean_supp = jnp.sum(supp * v, axis=-1, keepdims=True) / jnp.maximum(
+            kk, 1.0)
+        keep = supp >= jnp.maximum(inv.rel_support * mean_supp,
+                                   inv.min_support)
+        return v * keep
+
+    sel = jax.lax.fori_loop(0, inv.refine_iters, refine_body, sel)
+    count = jnp.sum((sel > 0.5).astype(jnp.float32), axis=-1, keepdims=True)
+
+    sel_out[0] = sel
+    count_out[0] = count
+    u_out[0] = u
+    f_out[0] = F_val
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "m", "inv", "params", "pairs_per_step", "interpret"),
+)
+def _fused_flat(c1, r1, d1, c2, r2, d2, valid, n: int, m: int,
+                inv: FusedInvariantStatics, params: ClipperSolveParams,
+                pairs_per_step: int, interpret: bool):
+    P = c1.shape[0]
+    K = pairs_per_step
+    N = n * m
+    ROW, COL = _selectors(n, m)
+    n_steps = (P + K - 1) // K
+    P_pad = n_steps * K
+
+    def pad(x):
+        if x.shape[0] == P_pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((P_pad - P,) + x.shape[1:], x.dtype)], axis=0)
+
+    c1, r1, d1 = pad(c1), pad(r1), pad(d1)
+    c2, r2, d2 = pad(c2), pad(r2), pad(d2)
+    valid = pad(valid.astype(jnp.float32))
+    # Mosaic can't legalize standalone transposes, so every block whose
+    # transposed layout the kernel needs is shipped in both layouts
+    # (features are tiny; the duplication is noise next to the matrix).
+    tr = lambda x: jnp.swapaxes(x, -1, -2)
+    inputs = (c1, tr(c1), r1, tr(r1), d1, tr(d1),
+              c2, tr(c2), r2, tr(r2), d2, tr(d2),
+              valid, tr(valid))
+
+    def spec3(x):
+        return pl.BlockSpec((K,) + x.shape[1:], lambda i: (i, 0, 0))
+
+    in_specs = [spec3(x) for x in inputs] + [
+        pl.BlockSpec((N, n), lambda i: (0, 0)),
+        pl.BlockSpec((n, N), lambda i: (0, 0)),
+        pl.BlockSpec((N, m), lambda i: (0, 0)),
+        pl.BlockSpec((m, N), lambda i: (0, 0)),
+    ]
+    # outputs are (n_steps, K, ...) so each block spans the full
+    # trailing dims (TPU blocks must tile the last two dims exactly)
+    out_specs = [
+        pl.BlockSpec((1, K, N), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, K, 1), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, K, N), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, K, 1), lambda i: (i, 0, 0)),
+    ]
+    sel, count, u, F = pl.pallas_call(
+        functools.partial(_kernel, n=n, m=m, K=K, inv=inv, params=params),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_steps, K, N), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, K, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, K, N), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, K, 1), jnp.float32),
+        ],
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((K, N, N), jnp.bfloat16)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(*inputs, jnp.asarray(ROW), jnp.asarray(ROW.T.copy()),
+      jnp.asarray(COL), jnp.asarray(COL.T.copy()))
+    return (sel.reshape(P_pad, N)[:P], count.reshape(P_pad, 1)[:P],
+            u.reshape(P_pad, N)[:P], F.reshape(P_pad, 1)[:P])
+
+
+def fused_register(f1, f2, inv: FusedInvariantStatics,
+                   params: ClipperSolveParams = ClipperSolveParams(),
+                   assoc_mask=None, pairs_per_step: int = 2,
+                   interpret: bool = False):
+    """Register batched SubmapFeatures pairs with the fused kernel.
+
+    f1/f2: SubmapFeatures with leading batch dims. Returns
+    (sel (..., n, m) bool, count (...,) int32, u (..., n, m) f32,
+    F (...,) f32) — the solve_and_round contract.
+    """
+    n = f1.capacity
+    m = f2.capacity
+    batch = f1.centers.shape[:-2]
+    valid = f1.valid[..., :, None] & f2.valid[..., None, :]
+    if assoc_mask is not None:
+        valid = valid & assoc_mask
+
+    def flat(x, feat_shape):
+        return x.reshape((-1,) + feat_shape)
+
+    Fdim = f1.ratio_feats.shape[-1]
+    Ddim = f1.descriptors.shape[-1]
+    use_ratio = inv.use_ratio and Fdim > 0
+    use_cosine = inv.use_cosine and Ddim > 0
+    inv = dataclasses.replace(inv, use_ratio=use_ratio, use_cosine=use_cosine)
+    # unused feature blocks are replaced by tiny dummies so block shapes
+    # stay well-formed (the kernel never reads them)
+    r1 = f1.ratio_feats if use_ratio else jnp.zeros(
+        f1.centers.shape[:-1] + (1,), jnp.float32)
+    r2 = f2.ratio_feats if use_ratio else jnp.zeros(
+        f2.centers.shape[:-1] + (1,), jnp.float32)
+    d1 = f1.descriptors if use_cosine else jnp.zeros(
+        f1.centers.shape[:-1] + (1,), jnp.float32)
+    d2 = f2.descriptors if use_cosine else jnp.zeros(
+        f2.centers.shape[:-1] + (1,), jnp.float32)
+
+    sel, count, u, F = _fused_flat(
+        flat(f1.centers.astype(jnp.float32), (n, 3)),
+        flat(r1.astype(jnp.float32), (n, r1.shape[-1])),
+        flat(d1.astype(jnp.float32), (n, d1.shape[-1])),
+        flat(f2.centers.astype(jnp.float32), (m, 3)),
+        flat(r2.astype(jnp.float32), (m, r2.shape[-1])),
+        flat(d2.astype(jnp.float32), (m, d2.shape[-1])),
+        flat(valid, (n, m)),
+        n, m, inv, params, pairs_per_step, interpret,
+    )
+    return (
+        (sel > 0.5).reshape(batch + (n, m)),
+        count.reshape(batch).astype(jnp.int32),
+        u.reshape(batch + (n, m)),
+        F.reshape(batch),
+    )

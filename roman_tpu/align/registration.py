@@ -58,7 +58,9 @@ class RegistrationConfig:
     roll_pitch_thresh: float = float(np.deg2rad(5))
     ransac_iter: int = 4096
     max_clique: int = 64
-    use_pallas: bool = False  # VMEM-resident pallas solve (TPU only)
+    use_pallas: bool = False  # fused VMEM-resident pallas register kernel
+    pallas_pairs_per_step: int = 2  # pairs per kernel grid step
+    pallas_interpret: bool = False  # pallas interpret mode (CPU testing)
     solver: clipper_mod.ClipperSolveParams = dataclasses.field(
         default_factory=clipper_mod.ClipperSolveParams
     )
@@ -102,7 +104,8 @@ class RegistrationResult:
                         # object_registration.py:88-129)
     ok: jax.Array       # (...,) bool: count >= dim (else the reference raises
                         # InsufficientAssociationsException, :106-108)
-    u: jax.Array        # (..., n, m) solver certificate
+    u: Optional[jax.Array]  # (..., n, m) solver eigenvector, or None after
+                            # the host fetch drops it (PairGridRegistrar)
     score: jax.Array    # (...,) clique objective
 
 
@@ -158,7 +161,32 @@ def _t_align_from_selection(f1, f2, sel):
 def register_clipper(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationConfig,
                      assoc_mask: Optional[jax.Array] = None) -> RegistrationResult:
     """ROMAN-family registration (also used by clipper+prune with an
-    assoc_mask). Batched over leading dims of f1/f2."""
+    assoc_mask). Batched over leading dims of f1/f2.
+
+    With cfg.use_pallas, the whole affinity+solve+round+refine pipeline
+    runs as one VMEM-resident pallas kernel (fused_register.py) — the
+    (N, N) affinity never touches HBM. Geometric-mean fusion only; other
+    fusion modes fall back to the XLA path."""
+    if cfg.use_pallas and cfg.fusion == "geometric_mean":
+        from roman_tpu.align import fused_register as fr
+
+        gravity, _, _, _, semantics = cfg.feature_flags
+        inv = fr.FusedInvariantStatics(
+            sigma=cfg.sigma, epsilon=cfg.epsilon, mindist=cfg.mindist,
+            cos_min=cfg.cos_min, cos_max=cfg.cos_max,
+            eps_shape=cfg.epsilon_shape,
+            gravity=gravity, gravity_unc_ang_rad=cfg.gravity_unc_ang_rad,
+            use_ratio=f1.ratio_feats.shape[-1] > 0, use_cosine=semantics,
+            max_clique=cfg.max_clique,
+        )
+        sel, count, u, F = fr.fused_register(
+            f1, f2, inv, cfg.solver, assoc_mask=assoc_mask,
+            pairs_per_step=cfg.pallas_pairs_per_step,
+            interpret=cfg.pallas_interpret,
+        )
+        T = _t_align_from_selection(f1, f2, sel)
+        return RegistrationResult(sel=sel, count=count, T_align=T,
+                                  ok=count >= cfg.dim, u=u, score=F)
     p = cfg.invariant_params(f1.ratio_feats.shape[-1])
     M4, _ = invariants.affinity(f1, f2, p)
     valid = f1.valid[..., :, None] & f2.valid[..., None, :]

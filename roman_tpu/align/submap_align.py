@@ -86,36 +86,34 @@ class PairGridRegistrar:
 
     def _register(self, f1, f2, ids1, ids2, key):
         cfg = self.cfg
-        single_robot_lc = self.single_robot_lc
-        if True:
-            if single_robot_lc:
-                # remove segments whose ids appear in both submaps
-                # (submap_align.py:108-115)
-                shared1 = jnp.any(
-                    ids1[..., :, None] == jnp.where(f2.valid, ids2, -2)[..., None, :],
-                    axis=-1,
-                )
-                shared2 = jnp.any(
-                    ids2[..., :, None] == jnp.where(f1.valid, ids1, -2)[..., None, :],
-                    axis=-1,
-                )
-                f1 = f1.replace(valid=f1.valid & ~shared1)
-                f2 = f2.replace(valid=f2.valid & ~shared2)
-            if cfg.method == "ransac":
-                res = reg.register_ransac(f1, f2, cfg, key)
-            elif cfg.method == "clipper+prune":
-                res = reg.register_clipper_prune(
-                    f1, f2, cfg,
-                    pca_attrs1=f1.ratio_feats[..., :3] if f1.ratio_feats.shape[-1] >= 3 else None,
-                    volume1=f1.ratio_feats[..., 3] if f1.ratio_feats.shape[-1] >= 4 else None,
-                    pca_attrs2=f2.ratio_feats[..., :3] if f2.ratio_feats.shape[-1] >= 3 else None,
-                    volume2=f2.ratio_feats[..., 3] if f2.ratio_feats.shape[-1] >= 4 else None,
-                    descriptors1=f1.descriptors if f1.descriptors.shape[-1] else None,
-                    descriptors2=f2.descriptors if f2.descriptors.shape[-1] else None,
-                )
-            else:
-                res = reg.register_clipper(f1, f2, cfg)
-            return res
+        if self.single_robot_lc:
+            # remove segments whose ids appear in both submaps
+            # (submap_align.py:108-115)
+            shared1 = jnp.any(
+                ids1[..., :, None] == jnp.where(f2.valid, ids2, -2)[..., None, :],
+                axis=-1,
+            )
+            shared2 = jnp.any(
+                ids2[..., :, None] == jnp.where(f1.valid, ids1, -2)[..., None, :],
+                axis=-1,
+            )
+            f1 = f1.replace(valid=f1.valid & ~shared1)
+            f2 = f2.replace(valid=f2.valid & ~shared2)
+        if cfg.method == "ransac":
+            res = reg.register_ransac(f1, f2, cfg, key)
+        elif cfg.method == "clipper+prune":
+            res = reg.register_clipper_prune(
+                f1, f2, cfg,
+                pca_attrs1=f1.ratio_feats[..., :3] if f1.ratio_feats.shape[-1] >= 3 else None,
+                volume1=f1.ratio_feats[..., 3] if f1.ratio_feats.shape[-1] >= 4 else None,
+                pca_attrs2=f2.ratio_feats[..., :3] if f2.ratio_feats.shape[-1] >= 3 else None,
+                volume2=f2.ratio_feats[..., 3] if f2.ratio_feats.shape[-1] >= 4 else None,
+                descriptors1=f1.descriptors if f1.descriptors.shape[-1] else None,
+                descriptors2=f2.descriptors if f2.descriptors.shape[-1] else None,
+            )
+        else:
+            res = reg.register_clipper(f1, f2, cfg)
+        return res
 
     def _get_jitted(self, sig):
         """One compiled program processing ALL chunks: lax.map over the
@@ -146,15 +144,22 @@ class PairGridRegistrar:
         return self._jitted[sig]
 
     def __call__(self, feats1, feats2, ids1_all, ids2_all, pair_i, pair_j,
-                 seed: int = 0) -> RegistrationResult:
+                 seed: int = 0, timed: bool = False):
         """feats*: SubmapFeatures over all submaps of each robot;
         pair_i/pair_j: (P,) submap indices to register. Returns batched
-        RegistrationResult as numpy-backed arrays of length P."""
+        RegistrationResult as numpy-backed arrays of length P.
+
+        timed=True dispatches chunk by chunk and additionally returns a
+        (P,) array of per-pair wall times (chunk time / chunk size) — the
+        closest honest per-pair attribution a batched engine can give
+        (reference submap_align.py:153-157 times each pair's solve). It
+        costs one dispatch+fetch round trip per chunk, so the default is
+        the single-dispatch program."""
         import jax.numpy as jnp
 
         P = len(pair_i)
         if P == 0:
-            return None
+            return (None, np.zeros(0)) if timed else None
         C = self.chunk_size
         n_chunks = (P + C - 1) // C
         total = n_chunks * C
@@ -163,13 +168,35 @@ class PairGridRegistrar:
         idx_i[:P] = pair_i
         idx_j[:P] = pair_j
         key = jax.random.PRNGKey(seed)
+
+        if timed:
+            fn = self._get_jitted((C, 1))
+            chunks = []
+            times = np.zeros(total)
+            for c in range(n_chunks):
+                t0 = time.perf_counter()
+                r = fn(feats1, feats2, jnp.asarray(ids1_all),
+                       jnp.asarray(ids2_all),
+                       jnp.asarray(idx_i[c * C:(c + 1) * C].reshape(1, C)),
+                       jnp.asarray(idx_j[c * C:(c + 1) * C].reshape(1, C)),
+                       key)
+                r = jax.tree.map(np.asarray, r.replace(u=None))
+                dt = time.perf_counter() - t0
+                times[c * C:(c + 1) * C] = dt / C
+                chunks.append(r)
+            res = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=0), *chunks)
+            res = jax.tree.map(
+                lambda x: x.reshape((total,) + x.shape[2:])[:P], res)
+            return res, times[:P]
+
         fn = self._get_jitted((C, n_chunks))
         res = fn(feats1, feats2, jnp.asarray(ids1_all), jnp.asarray(ids2_all),
                  jnp.asarray(idx_i.reshape(n_chunks, C)),
                  jnp.asarray(idx_j.reshape(n_chunks, C)), key)
         # drop the (P, n, m) solver certificate before fetching — fetch
         # latency is per-array on this deployment and u is debug-only
-        res = res.replace(u=res.count)
+        res = res.replace(u=None)
         res = jax.tree.map(np.asarray, res)  # one fetch per field
         return jax.tree.map(
             lambda x: x.reshape((total,) + x.shape[2:])[:P], res
@@ -289,12 +316,21 @@ def align_submap_lists(submaps, cfg: RegistrationConfig,
         mesh=mesh,
     )
     t0 = time.time()
-    res = registrar(
-        feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"], pair_i, pair_j
-    )
-    reg_time = time.time() - t0
-    n_solved = max(len(pair_i), 1)
-    timing_list = [reg_time / n_solved] * len(pair_i)
+    if sm_params.per_pair_timing:
+        res, times = registrar(
+            feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"],
+            pair_i, pair_j, timed=True,
+        )
+        timing_list = list(times)
+    else:
+        res = registrar(
+            feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"],
+            pair_i, pair_j,
+        )
+        # one batched dispatch: attribute wall time uniformly
+        reg_time = time.time() - t0
+        n_solved = max(len(pair_i), 1)
+        timing_list = [reg_time / n_solved] * len(pair_i)
 
     # ---- host-side post-filters + matrices ----
     angle_mat = np.full((n0, n1), np.nan)
@@ -317,8 +353,7 @@ def align_submap_lists(submaps, cfg: RegistrationConfig,
             angle_mat[i, j] = theta
             dist_mat[i, j] = d
         num_assoc[i, j] = 0
-        denom = np.mean([len(submaps[0][i]), len(submaps[1][j])])
-        pct_assoc[i, j] = 0.0 if denom > 0 else 0.0
+        pct_assoc[i, j] = 0.0
 
     if res is not None and len(pair_i):
         T_hat = res.T_align.copy()

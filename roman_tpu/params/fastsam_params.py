@@ -38,6 +38,8 @@ class FastSAMParams:
     triangle_ignore_masks: Optional[List] = None
     conf: float = 0.5
     iou: float = 0.9
+    allow_tblr_edges: tuple = (True, True, True, True)
+    keep_mask_minimal_intersection: float = 0.3
     # TPU batching (static shapes; additions over the reference schema)
     batch_frames: int = 8
     max_masks_per_frame: int = 64

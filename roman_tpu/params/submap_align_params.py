@@ -47,6 +47,11 @@ class SubmapAlignParams:
     semantics_dim: int = 768
     gravity_unc_ang_rad: float = 0.0872665
 
+    # TPU engine knobs (no reference equivalent)
+    use_pallas: bool = False  # fused VMEM-resident register kernel
+    pallas_pairs_per_step: int = 2
+    per_pair_timing: bool = False  # chunk-timed dispatch for timing_list
+
     def __post_init__(self):
         if isinstance(self.submap_descriptor, str) and self.submap_descriptor.lower() == "none":
             self.submap_descriptor = None
@@ -71,6 +76,8 @@ class SubmapAlignParams:
             cos_max=self.cosine_max,
             gravity_unc_ang_rad=self.gravity_unc_ang_rad,
             ransac_iter=self.ransac_iter,
+            use_pallas=self.use_pallas,
+            pallas_pairs_per_step=self.pallas_pairs_per_step,
         )
 
 

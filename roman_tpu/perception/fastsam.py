@@ -397,7 +397,10 @@ def assemble_masks(proto, mask_coeffs, boxes, out_hw: Tuple[int, int]):
     x2 = boxes[..., 2][..., None, None]
     y2 = boxes[..., 3][..., None, None]
     inbox = (xs >= x1) & (xs <= x2) & (ys >= y1) & (ys <= y2)
-    return (jax.nn.sigmoid(m) > 0.5) & inbox
+    # >= : logits of a randomly-initialized net are ~1e-8 and sigmoid
+    # rounds to exactly 0.5 — a strict > yields all-empty masks (ties are
+    # measure-zero with trained weights)
+    return (jax.nn.sigmoid(m) >= 0.5) & inbox
 
 
 def segment_everything(model: YoloSeg, variables, images, cfg: YoloSegConfig,
@@ -416,3 +419,41 @@ def segment_everything(model: YoloSeg, variables, images, cfg: YoloSegConfig,
     masks = assemble_masks(out["proto"], km, kb, (H, W))
     masks = masks & keep[..., None, None]
     return masks, kb, ks * keep, keep
+
+
+def detect_labeled(model: YoloSeg, variables, images, cfg: YoloSegConfig,
+                   conf: float = 0.25, iou: float = 0.45, max_out: int = 32):
+    """Labeled object detection: the YOLOv7 stand-in for the reference's
+    ignore/keep label filtering (fastsam_wrapper.py:440-484), served by a
+    YoloSeg detect head with nc > 1.
+
+    images (B, H, W, 3) in [0,1] -> (boxes (B, K, 4) xyxy pixels,
+    cls (B, K) int32, scores (B, K), valid (B, K) bool).
+    """
+    H, W = images.shape[1:3]
+    out = model.apply(variables, images)
+    all_boxes, all_scores, all_cls = [], [], []
+    for (box, cls_logits, _), stride in zip(out["levels"], (8, 16, 32)):
+        B, h, w, _ = box.shape
+        ltrb = dfl_decode(box.reshape(B, h * w, -1), cfg.reg_max) * stride
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
+        cy, cx = jnp.meshgrid(ys, xs, indexing="ij")
+        centers = jnp.stack([cx.reshape(-1), cy.reshape(-1)], axis=-1)
+        x1 = centers[None, :, 0] - ltrb[..., 0]
+        y1 = centers[None, :, 1] - ltrb[..., 1]
+        x2 = centers[None, :, 0] + ltrb[..., 2]
+        y2 = centers[None, :, 1] + ltrb[..., 3]
+        all_boxes.append(jnp.stack([x1, y1, x2, y2], axis=-1))
+        probs = jax.nn.sigmoid(
+            cls_logits.reshape(B, h * w, cfg.nc).astype(jnp.float32))
+        all_scores.append(jnp.max(probs, axis=-1))
+        all_cls.append(jnp.argmax(probs, axis=-1).astype(jnp.int32))
+    boxes = jnp.concatenate(all_boxes, axis=1)
+    scores = jnp.concatenate(all_scores, axis=1)
+    cls = jnp.concatenate(all_cls, axis=1)
+    idx, keep = nms_topk(boxes, scores, conf, iou, max_out)
+    kb = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    ks = jnp.take_along_axis(scores, idx, axis=1)
+    kc = jnp.take_along_axis(cls, idx, axis=1)
+    return kb, kc, ks * keep, keep

@@ -53,12 +53,27 @@ class PerceptionOutput:
 
 
 class PerceptionFrontend:
-    """Wires the segmentation net + DINOv2 into one batched program."""
+    """Wires the segmentation net + DINOv2 (or CLIP) into one batched
+    program, honoring the FastSAMParams filtering pipeline:
+    rotate_img -> YOLO ignore/keep label boxes -> triangle ignore regions
+    -> area bounds / edge filter -> erosion-gated depth lifting -> plane
+    filter -> per-mask semantics (mean-DINO or CLIP bbox crop).
+
+    Divergence from the reference: YOLO label filtering runs only when
+    `ignore_people` or `use_keep_labels` is set AND a detector is
+    available (the reference always runs YOLOv7 when ignore_labels is
+    nonempty, fastsam_wrapper.py:176; a randomly-initialized stand-in
+    would inject noise, so it must be opted into)."""
 
     def __init__(self, params: FastSAMParams, camera: CameraParams,
                  seg_cfg: fastsam.YoloSegConfig = fastsam.FASTSAM_X,
                  vit_cfg=dinov2.DINOV2_BASE,
-                 seg_variables=None, vit_variables=None, seed: int = 0):
+                 seg_variables=None, vit_variables=None,
+                 yolo_cfg: Optional[fastsam.YoloSegConfig] = None,
+                 yolo_variables=None,
+                 yolo_label_names: Optional[tuple] = None,
+                 clip_cfg=None, clip_variables=None,
+                 seed: int = 0):
         self.params = params
         self.camera = camera
         self.seg_cfg = seg_cfg
@@ -76,56 +91,179 @@ class PerceptionFrontend:
             vit_variables = self.vit_model.init(key, jnp.zeros((1, gh, gw, 3)))
         self.seg_variables = seg_variables
         self.vit_variables = vit_variables
+
+        # --- YOLO label-filter stand-in (reference fastsam_wrapper.py:171,
+        # :440-484): a YoloSeg detect head with nc>1 ---
+        self.run_yolo = bool(
+            (params.ignore_people and len(params.ignore_labels) > 0)
+            or params.use_keep_labels
+        )
+        self.yolo_model = None
+        self.yolo_variables = None
+        self.yolo_label_names = yolo_label_names or COCO_NAMES
+        if self.run_yolo:
+            self.yolo_cfg = yolo_cfg or dataclasses.replace(
+                fastsam.FASTSAM_X, nc=len(self.yolo_label_names),
+                depth_mult=0.33, width_mult=0.25)
+            self.yolo_model = fastsam.YoloSeg(self.yolo_cfg)
+            if yolo_variables is None:
+                yh, yw = params.yolo_imgsz
+                yolo_variables = self.yolo_model.init(
+                    key, jnp.zeros((1, _r32(yh), _r32(yw), 3)))
+            self.yolo_variables = yolo_variables
+
+        # --- CLIP bbox-crop semantics (reference fastsam_wrapper.py:393-406)
+        self.clip_model = None
+        self.clip_variables = None
+        if params.semantics == "clip":
+            from roman_tpu.perception import clip as clip_mod
+
+            self.clip_cfg = clip_cfg or clip_mod.CLIP_VIT_B32
+            self.clip_model = clip_mod.make_model(self.clip_cfg)
+            if clip_variables is None:
+                s = self.clip_cfg.img_size
+                clip_variables = self.clip_model.init(
+                    key, jnp.zeros((1, s, s, 3)))
+            self.clip_variables = clip_variables
+
         self._jitted = None
+        self._tri_cache = {}
 
     # ------------------------------------------------------------------ #
+    def _ignore_keep_ids(self):
+        names = list(self.yolo_label_names)
+        ignore = [names.index(l) for l in self.params.ignore_labels
+                  if l in names]
+        keep = [names.index(l) for l in self.params.keep_labels if l in names]
+        return tuple(ignore), tuple(keep)
+
     def _build(self):
         p = self.params
         cam = self.camera
         K = jnp.asarray(cam.K, jnp.float32)
         seg_model, seg_cfg = self.seg_model, self.seg_cfg
         vit_model, vit_cfg = self.vit_model, self.vit_cfg
+        yolo_model = self.yolo_model
+        clip_model = self.clip_model
         max_masks = p.max_masks_per_frame
         n_pts = p.max_points_per_mask
+        run_yolo = self.run_yolo
+        use_clip = clip_model is not None
+        if run_yolo:
+            ignore_ids, keep_ids = self._ignore_keep_ids()
+        rot = p.rotate_img
+        unrot = {None: None, "CW": "CCW", "CCW": "CW", "180": "180"}[rot]
 
-        def fn(seg_vars, vit_vars, images, depths):
+        def fn(variables, images, depths, tri_ignore):
             B, H, W, _ = images.shape
+            # --- rotation pre-processing (fastsam_wrapper.py:420-438):
+            # segmentation/YOLO/semantics run on the rotated image; masks
+            # are un-rotated before depth lifting ---
+            imgs_p = rotate_images(images, rot)
+            Hr, Wr = imgs_p.shape[1], imgs_p.shape[2]
+
             # --- segmentation (FastSAM everything mode) ---
             seg_in = jax.image.resize(
-                images, (B, _r32(p.imgsz[0]), _r32(p.imgsz[1]), 3), "bilinear")
-            masks_s, boxes, scores, keep = fastsam.segment_everything(
-                seg_model, seg_vars, seg_in, seg_cfg,
+                imgs_p, (B, _r32(p.imgsz[0]), _r32(p.imgsz[1]), 3), "bilinear")
+            masks_s, _, _, keep = fastsam.segment_everything(
+                seg_model, variables["seg"], seg_in, seg_cfg,
                 conf=p.conf, iou=p.iou, max_masks=max_masks)
-            # resize masks to full image resolution
-            masks = jax.image.resize(
-                masks_s.astype(jnp.float32), (B, max_masks, H, W), "nearest") > 0.5
+            # resize masks to full (rotated) image resolution
+            masks_r = jax.image.resize(
+                masks_s.astype(jnp.float32), (B, max_masks, Hr, Wr),
+                "nearest") > 0.5
+            ok = keep
 
-            # --- mask filtering (fastsam_wrapper.py:486-575) ---
-            area = jnp.sum(masks, axis=(-2, -1))
-            min_area = (min(H, W) / p.min_mask_len_div) ** 2
-            max_area = (max(H, W) / p.max_mask_len_div) ** 2
-            ok = keep & (area >= min_area) & (area <= max_area)
-            # edge contact: reject masks touching the image border
-            edge = (
-                jnp.any(masks[..., 0, :], axis=-1) | jnp.any(masks[..., -1, :], axis=-1)
-                | jnp.any(masks[..., :, 0], axis=-1) | jnp.any(masks[..., :, -1], axis=-1)
-            )
-            ok = ok & ~edge
+            # --- YOLO ignore/keep label boxes (fastsam_wrapper.py:440-484):
+            # drop masks overlapping any ignore-label box; with
+            # use_keep_labels require >=keep_mask_minimal_intersection of
+            # the mask inside some keep-label box ---
+            if run_yolo:
+                yolo_in = jax.image.resize(
+                    imgs_p, (B, _r32(p.yolo_imgsz[0]), _r32(p.yolo_imgsz[1]), 3),
+                    "bilinear")
+                ybox, ycls, yscore, yvalid = fastsam.detect_labeled(
+                    yolo_model, variables["yolo"], yolo_in, self.yolo_cfg)
+                # scale boxes from yolo input resolution to (Hr, Wr)
+                sx = Wr / _r32(p.yolo_imgsz[1])
+                sy = Hr / _r32(p.yolo_imgsz[0])
+                ybox = ybox * jnp.asarray([sx, sy, sx, sy])
+                is_ignore = yvalid & jnp.isin(ycls, jnp.asarray(ignore_ids,
+                                                                jnp.int32))
+                ignore_boxes = jnp.where(is_ignore[..., None], ybox, 0.0)
+                keep_boxes = None
+                if p.use_keep_labels:
+                    is_keep = yvalid & jnp.isin(ycls, jnp.asarray(keep_ids,
+                                                                  jnp.int32))
+                    keep_boxes = jnp.where(is_keep[..., None], ybox, 0.0)
+                # reference drops on ANY ignore overlap (:551-553)
+                ok = apply_label_filters(
+                    masks_r, ok, ignore_boxes=ignore_boxes,
+                    keep_boxes=keep_boxes, ignore_frac=1e-9,
+                    keep_frac=p.keep_mask_minimal_intersection)
 
-            # --- per-pixel DINO features + frame descriptor ---
-            gh = (H // vit_cfg.patch) * vit_cfg.patch
-            gw = (W // vit_cfg.patch) * vit_cfg.patch
-            vit_in = jax.image.resize(images, (B, gh, gw, 3), "bilinear")
+            # --- per-mask semantics on the rotated image ---
+            if use_clip:
+                # CLIP bbox crops (fastsam_wrapper.py:393-406)
+                bboxes = _mask_bboxes(masks_r)
+                emb = clip_bbox_embeddings(
+                    imgs_p, bboxes, clip_model, variables["clip"],
+                    out_size=self.clip_cfg.img_size)
+            gh = (Hr // vit_cfg.patch) * vit_cfg.patch
+            gw = (Wr // vit_cfg.patch) * vit_cfg.patch
+            vit_in = jax.image.resize(imgs_p, (B, gh, gw, 3), "bilinear")
             vit_in = (vit_in - jnp.asarray(dinov2.IMAGENET_MEAN)) / jnp.asarray(
                 dinov2.IMAGENET_STD)
-            _, patches = vit_model.apply(vit_vars, vit_in)
-            pix_feats = upsample_patch_features(patches.astype(jnp.float32), H, W)
-            emb = jax.vmap(masked_mean_embedding)(pix_feats, masks)  # (B, K, D)
-            emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9)
+            _, patches = vit_model.apply(variables["vit"], vit_in)
+            if not use_clip:
+                # mean per-pixel DINO embedding (fastsam_wrapper.py:407-414);
+                # rotation-invariant: the mean runs over the same pixel set
+                pix_feats = upsample_patch_features(
+                    patches.astype(jnp.float32), Hr, Wr)
+                emb = jax.vmap(masked_mean_embedding)(pix_feats, masks_r)
+                emb = emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9)
             fdesc = frame_descriptor(patches.astype(jnp.float32),
                                      p.frame_descriptor or "dino-gem")
 
-            # --- depth -> object point clouds (fastsam_wrapper.py:340-384) ---
+            # --- un-rotate masks back to the camera frame ---
+            if unrot is not None:
+                k = {"CCW": 1, "180": 2, "CW": 3}[unrot]
+                masks = jnp.rot90(masks_r, k=k, axes=(2, 3))
+            else:
+                masks = masks_r
+
+            # --- triangle ignore regions (constant_ignore_mask,
+            # fastsam_wrapper.py:196-204): any overlap drops the mask ---
+            tri_hit = jnp.any(masks & tri_ignore[None, None], axis=(-2, -1))
+            ok = ok & ~tri_hit
+
+            # --- area bounds (from_params: img_area / div^2,
+            # fastsam_wrapper.py:129) ---
+            area = jnp.sum(masks, axis=(-2, -1))
+            min_area = H * W / (p.min_mask_len_div ** 2)
+            max_area = H * W / (p.max_mask_len_div ** 2)
+            ok = ok & (area >= min_area) & (area <= max_area)
+            # edge contact (5 px, per-side allow flags; reference
+            # _delete_edge_masks :486-495, default all-allowed)
+            allow = p.allow_tblr_edges
+            if not all(allow):
+                edges = [
+                    jnp.any(masks[..., :5, :], axis=(-2, -1)),    # top
+                    jnp.any(masks[..., -5:, :], axis=(-2, -1)),   # bottom
+                    jnp.any(masks[..., :, :5], axis=(-2, -1)),    # left
+                    jnp.any(masks[..., :, -5:], axis=(-2, -1)),   # right
+                ]
+                for e_hit, allowed in zip(edges, allow):
+                    if not allowed:
+                        ok = ok & ~e_hit
+
+            # --- depth -> object point clouds (fastsam_wrapper.py:340-384);
+            # erosion gates ONLY the depth pixels (:331-335), the stored
+            # mask stays un-eroded ---
+            lift_masks = masks
+            if p.erosion_size > 0:
+                lift_masks = erode_masks(masks, 2 * p.erosion_size + 1)
             pts_img = depth_image_to_points(depths, K)  # (B, H, W, 3)
             depth_ok = (depths > 1e-3)
             near_ok = depths <= p.max_depth
@@ -148,7 +286,8 @@ class PerceptionFrontend:
 
                 return jax.vmap(lift_mask)(masks_k)
 
-            pts_k, pts_v = jax.vmap(lift_one)(masks, pts_img, depth_ok, near_ok)
+            pts_k, pts_v = jax.vmap(lift_one)(lift_masks, pts_img, depth_ok,
+                                              near_ok)
             # voxel downsample each mask's points (fastsam_wrapper.py:367)
             pts_k, pts_v = voxel_downsample(pts_k, pts_v, p.voxel_size)
 
@@ -168,12 +307,30 @@ class PerceptionFrontend:
 
         return jax.jit(fn)
 
+    def _variables(self):
+        v = {"seg": self.seg_variables, "vit": self.vit_variables}
+        if self.run_yolo:
+            v["yolo"] = self.yolo_variables
+        if self.clip_model is not None:
+            v["clip"] = self.clip_variables
+        return v
+
+    def _tri_mask(self, H: int, W: int) -> np.ndarray:
+        key = (H, W)
+        if key not in self._tri_cache:
+            self._tri_cache[key] = triangle_ignore_mask(
+                self.params.triangle_ignore_masks, H, W)
+        return self._tri_cache[key]
+
     def run_batch(self, images: np.ndarray, depths: np.ndarray) -> PerceptionOutput:
         """images (B, H, W, 3) float [0,1]; depths (B, H, W) meters."""
         if self._jitted is None:
             self._jitted = self._build()
-        out = self._jitted(self.seg_variables, self.vit_variables,
-                           jnp.asarray(images, jnp.float32), jnp.asarray(depths, jnp.float32))
+        H, W = images.shape[1:3]
+        out = self._jitted(self._variables(),
+                           jnp.asarray(images, jnp.float32),
+                           jnp.asarray(depths, jnp.float32),
+                           jnp.asarray(self._tri_mask(H, W)))
         out = jax.tree.map(np.asarray, out)
         return PerceptionOutput(**out)
 
@@ -310,6 +467,45 @@ def rotate_images(images: jax.Array, how: Optional[str]):
         return images
     k = {"CCW": 1, "180": 2, "CW": 3}[how]
     return jnp.rot90(images, k=k, axes=(1, 2))
+
+
+def _mask_bboxes(masks: jax.Array) -> jax.Array:
+    """(B, K, H, W) bool -> (B, K, 4) xyxy pixel boxes (reference
+    mask_bounding_box, fastsam_wrapper.py:580-600). Empty masks get a
+    degenerate 1px box at the origin (callers gate on validity)."""
+    B, K, H, W = masks.shape
+    any_row = jnp.any(masks, axis=-1)                      # (B, K, H)
+    any_col = jnp.any(masks, axis=-2)                      # (B, K, W)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    big = jnp.float32(1e9)
+    y1 = jnp.min(jnp.where(any_row, ys, big), axis=-1)
+    y2 = jnp.max(jnp.where(any_row, ys, -big), axis=-1) + 1.0
+    x1 = jnp.min(jnp.where(any_col, xs, big), axis=-1)
+    x2 = jnp.max(jnp.where(any_col, xs, -big), axis=-1) + 1.0
+    empty = ~jnp.any(any_row, axis=-1)
+    box = jnp.stack([x1, y1, x2, y2], axis=-1)
+    return jnp.where(empty[..., None], jnp.asarray([0.0, 0.0, 1.0, 1.0]), box)
+
+
+# COCO-80 class names: the label vocabulary of the reference's YOLOv7
+# detector (yolov7_package names; ignore_labels/keep_labels entries are
+# looked up here).
+COCO_NAMES = (
+    "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
+    "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep", "cow",
+    "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella",
+    "handbag", "tie", "suitcase", "frisbee", "skis", "snowboard",
+    "sports ball", "kite", "baseball bat", "baseball glove", "skateboard",
+    "surfboard", "tennis racket", "bottle", "wine glass", "cup", "fork",
+    "knife", "spoon", "bowl", "banana", "apple", "sandwich", "orange",
+    "broccoli", "carrot", "hot dog", "pizza", "donut", "cake", "chair",
+    "couch", "potted plant", "bed", "dining table", "toilet", "tv",
+    "laptop", "mouse", "remote", "keyboard", "cell phone", "microwave",
+    "oven", "toaster", "sink", "refrigerator", "book", "clock", "vase",
+    "scissors", "teddy bear", "hair drier", "toothbrush",
+)
 
 
 def _r32(x: int) -> int:
