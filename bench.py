@@ -313,6 +313,62 @@ def run_quality_comparison(feats, auxs, runs, cfg, res, pair_i, pair_j,
     }
 
 
+def run_mapping_bench(n_frames=64, batch=16, obs_per_frame=24,
+                      pts_per_obs=128, desc_dim=64, seed=0):
+    """Mapping throughput: the device-resident BatchMapper over a synthetic
+    observation stream, one dispatch per batch of frames (the reference hot
+    loop is mapper.py:47-142, one python update per frame)."""
+    from roman_tpu.data.camera import CameraParams
+    from roman_tpu.map.batch_mapper import BatchMapper
+    from roman_tpu.params.mapper_params import MapperParams
+
+    rng = np.random.default_rng(seed)
+    O, Q = obs_per_frame, pts_per_obs
+    centers = np.stack([
+        np.linspace(0.0, 120.0, 150),
+        rng.uniform(-6, 6, 150),
+        rng.uniform(0, 2, 150),
+    ], axis=1)
+    descs = rng.normal(size=(150, desc_dim)).astype(np.float32)
+    descs /= np.linalg.norm(descs, axis=-1, keepdims=True)
+
+    times = np.arange(n_frames) * (1.0 / 6.0)
+    poses = np.broadcast_to(np.eye(4), (n_frames, 4, 4)).copy()
+    poses[:, 0, 3] = times * 1.5  # 1.5 m/s forward
+    pts = np.zeros((n_frames, O, Q, 3), np.float32)
+    val = np.zeros((n_frames, O, Q), bool)
+    desc = np.zeros((n_frames, O, desc_dim), np.float32)
+    mask = np.zeros((n_frames, O), bool)
+    for f in range(n_frames):
+        near = np.flatnonzero(
+            np.abs(centers[:, 0] - poses[f, 0, 3]) < 8.0)[:O]
+        Ti = np.linalg.inv(poses[f])
+        for k, i in enumerate(near):
+            pw = centers[i] + rng.normal(size=(Q, 3)).astype(np.float32) * 0.2
+            pts[f, k] = pw @ Ti[:3, :3].T + Ti[:3, 3]
+            val[f, k] = True
+            desc[f, k] = descs[i]
+            mask[f, k] = True
+
+    params = MapperParams(min_sightings=2, max_t_no_sightings=2.0,
+                          geometric_score_range=(0.1, 1.0))
+    mapper = BatchMapper(params, CameraParams.simple(), desc_dim=desc_dim,
+                         obs_capacity=O)
+
+    def feed():
+        for s in range(0, n_frames, batch):
+            e = min(s + batch, n_frames)
+            mapper.update_batch(times[s:e], poses[s:e], pts[s:e], val[s:e],
+                                desc[s:e], mask[s:e])
+
+    feed()  # warmup/compile (also populates the map: realistic occupancy)
+    t0 = time.perf_counter()
+    feed()
+    np.asarray(mapper.state.next_id)  # force
+    dt = time.perf_counter() - t0
+    return n_frames / dt
+
+
 def run_perception_bench(batch=8, height=480, width=640, repeats=3):
     """Optional second metric: perception front-end frames/sec
     (segmentation + DINOv2 + lifting; the reference's per-frame torch
@@ -350,6 +406,8 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force jax to CPU")
     ap.add_argument("--no-pallas", action="store_true",
                     help="skip the fused pallas engine (XLA path only)")
+    ap.add_argument("--no-mapping", action="store_true",
+                    help="skip the device-mapper throughput metric")
     ap.add_argument("--perception", action="store_true",
                     help="also measure perception frames/sec (adds a large "
                          "one-time compile)")
@@ -405,6 +463,8 @@ def main():
         record.update(run_quality_comparison(
             feats, auxs, runs, cfg, res, pair_i, pair_j,
             n_quality=args.quality_pairs))
+    if not args.no_mapping:
+        record["mapping_frames_per_sec"] = round(run_mapping_bench(), 2)
     if args.perception:
         record["perception_frames_per_sec"] = round(run_perception_bench(), 2)
     print(json.dumps(record))

@@ -86,22 +86,29 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
     COL = col_ref[...]           # (N, m) one-hot b-index
     COLT = colt_ref[...]         # (m, N)
 
+    # selector products must be EXACT: a single-pass bf16 MXU matmul
+    # rounds the distance values (~0.1 m at map scale vs sigma 0.4) and
+    # measurably shrinks the solved cliques on real workloads
+    _hi = jax.lax.Precision.HIGHEST
+
     def expand1(Q):  # symmetric (n, n) -> (N, N): out[i, j] = Q[a_i, a_j]
-        t = jnp.dot(ROW, Q, preferred_element_type=jnp.float32)
-        return jnp.dot(t, ROWT, preferred_element_type=jnp.float32)
+        t = jnp.dot(ROW, Q, preferred_element_type=jnp.float32, precision=_hi)
+        return jnp.dot(t, ROWT, preferred_element_type=jnp.float32,
+                       precision=_hi)
 
     def expand2(Q):  # symmetric (m, m) -> (N, N): out[i, j] = Q[b_i, b_j]
-        t = jnp.dot(COL, Q, preferred_element_type=jnp.float32)
-        return jnp.dot(t, COLT, preferred_element_type=jnp.float32)
+        t = jnp.dot(COL, Q, preferred_element_type=jnp.float32, precision=_hi)
+        return jnp.dot(t, COLT, preferred_element_type=jnp.float32,
+                       precision=_hi)
 
     def flat_col(Qt):  # (m, n) transposed layout -> (N, 1): Q[a_i, b_i]
         t = jnp.dot(COL, Qt.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)        # (N, n)
+                    preferred_element_type=jnp.float32, precision=_hi)
         return jnp.sum(ROW * t, axis=1, keepdims=True)
 
     def flat_row(Q):   # (n, m) -> (1, N): Q[a_i, b_i]
         t = jnp.dot(Q.astype(jnp.float32), COLT,
-                    preferred_element_type=jnp.float32)        # (n, N)
+                    preferred_element_type=jnp.float32, precision=_hi)
         return jnp.sum(ROWT * t, axis=0, keepdims=True)
 
     def pair_geom(c, ct):
@@ -179,7 +186,8 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
             d2t = d2t_ref[k]         # (D, m)
 
             def cos_score(a, bt, kk, ll):
-                dot = jnp.dot(a, bt, preferred_element_type=jnp.float32)
+                dot = jnp.dot(a, bt, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
                 na = jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True))      # (kk,1)
                 nb = jnp.sqrt(jnp.sum(bt * bt, axis=0, keepdims=True))    # (1,ll)
                 den = na * nb
@@ -233,12 +241,18 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
         ]
         return jnp.concatenate(outs, axis=0)
 
-    def cb_matvec(u):  # rank-structured one-to-one constraint matvec
-        rs = jnp.dot(u, ROW, preferred_element_type=jnp.float32)   # (K, n)
-        cs = jnp.dot(u, COL, preferred_element_type=jnp.float32)   # (K, m)
+    def cb_matvec(u):  # rank-structured one-to-one constraint matvec;
+        # EXACT selector sums — bf16 rounding of u here distorts the
+        # penalty homotopy enough to shrink solved cliques ~2.5x
+        rs = jnp.dot(u, ROW, preferred_element_type=jnp.float32,
+                     precision=_hi)                                # (K, n)
+        cs = jnp.dot(u, COL, preferred_element_type=jnp.float32,
+                     precision=_hi)                                # (K, m)
         back = (
-            jnp.dot(rs, ROWT, preferred_element_type=jnp.float32)
-            + jnp.dot(cs, COLT, preferred_element_type=jnp.float32)
+            jnp.dot(rs, ROWT, preferred_element_type=jnp.float32,
+                    precision=_hi)
+            + jnp.dot(cs, COLT, preferred_element_type=jnp.float32,
+                      precision=_hi)
         )
         return back - 2.0 * u
 

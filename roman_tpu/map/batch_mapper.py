@@ -89,7 +89,9 @@ class BatchMapper:
         self.poses: List[np.ndarray] = []
         self.times: List[float] = []
         self.frame_descriptors: List[np.ndarray] = []
-        self._step = self._build()
+        self._step_fn = self._build()
+        self._step = jax.jit(self._step_fn)
+        self._scan_steps = {}
 
     # ------------------------------------------------------------------ #
     def _build(self):
@@ -104,7 +106,6 @@ class BatchMapper:
         sem_lo, sem_hi = p.semantic_score_range
         iom = p.geometric_association_method == "iom"
 
-        @jax.jit
         def step(state: MapState, t, obs_pts, obs_valid, obs_desc, obs_mask):
             """obs_pts (O, Q, 3) world frame; obs_valid (O, Q); obs_desc
             (O, D); obs_mask (O,) real observations."""
@@ -257,6 +258,72 @@ class BatchMapper:
         return step
 
     # ------------------------------------------------------------------ #
+    def _get_scan_step(self, sig):
+        """One dispatch for a whole batch of frames: lax.scan of the
+        per-frame step over the frame axis, with the camera->world point
+        transform fused in (the per-frame update() path ships world-frame
+        points from the host instead)."""
+        if sig not in self._scan_steps:
+            step_fn = self._step_fn
+
+            @jax.jit
+            def steps(state, ts, poses, pts, val, desc, mask):
+                def body(st, x):
+                    t, pose, p_, v_, d_, m_ = x
+                    pw = jnp.einsum("ij,oqj->oqi", pose[:3, :3], p_) + pose[:3, 3]
+                    pw = jnp.where(v_[..., None], pw, 0.0)
+                    return step_fn(st, t, pw, v_, d_, m_), None
+
+                out, _ = jax.lax.scan(body, state, (ts, poses, pts, val, desc, mask))
+                return out
+
+            self._scan_steps[sig] = steps
+        return self._scan_steps[sig]
+
+    def update_batch(self, times, poses, points, points_valid, descriptors,
+                     obs_mask, frame_descriptors=None):
+        """Batched Mapper.update over B frames in ONE device dispatch.
+
+        times (B,); poses (B, 4, 4); points (B, O, Q, 3) CAMERA-frame;
+        points_valid (B, O, Q); descriptors (B, O, D); obs_mask (B, O).
+        """
+        B = len(times)
+        self.poses += [np.asarray(p) for p in poses]
+        self.times += [float(t) for t in times]
+        if frame_descriptors is not None:
+            self.frame_descriptors += [np.asarray(f) for f in frame_descriptors]
+        D = descriptors.shape[-1]
+        if D != self.desc_dim:
+            fixed = np.zeros(descriptors.shape[:-1] + (self.desc_dim,), np.float32)
+            d = min(D, self.desc_dim)
+            fixed[..., :d] = np.asarray(descriptors)[..., :d]
+            descriptors = fixed
+        fn = self._get_scan_step((B,) + tuple(np.shape(points)[1:3]))
+        self.state = fn(
+            self.state, jnp.asarray(times, jnp.float32),
+            jnp.asarray(poses, jnp.float32),
+            jnp.asarray(points, jnp.float32), jnp.asarray(points_valid),
+            jnp.asarray(descriptors, jnp.float32), jnp.asarray(obs_mask))
+
+    def pack_observations(self, observations):
+        """Pack an Observation list into padded arrays (camera frame)."""
+        O = self.obs_capacity
+        Q = self.params.max_points_per_segment
+        obs_pts = np.zeros((O, Q, 3), np.float32)
+        obs_val = np.zeros((O, Q), bool)
+        obs_desc = np.zeros((O, self.desc_dim), np.float32)
+        obs_mask = np.zeros((O,), bool)
+        for k, obs in enumerate(observations[:O]):
+            pts = np.asarray(obs.point_cloud)
+            n = min(len(pts), Q)
+            obs_pts[k, :n] = pts[:n]
+            obs_val[k, :n] = True
+            if obs.semantic_descriptor is not None:
+                d = np.asarray(obs.semantic_descriptor).reshape(-1)[: self.desc_dim]
+                obs_desc[k, : len(d)] = d
+            obs_mask[k] = n > 0
+        return obs_pts, obs_val, obs_desc, obs_mask
+
     def update(self, t: float, pose: np.ndarray, observations,
                frame_descriptor: Optional[np.ndarray] = None):
         """Same call contract as Mapper.update (mapper.py:47); observations

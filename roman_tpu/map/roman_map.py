@@ -116,7 +116,14 @@ class RomanMap:
 
 
 def load_roman_map(path: str) -> RomanMap:
-    return RomanMap.from_pickle(path)
+    """Load a map pickle — ours, or a reference mit-acl/roman ROMANMap
+    (converted via roman_tpu.interop, no reference install needed)."""
+    try:
+        return RomanMap.from_pickle(path)
+    except (AssertionError, ModuleNotFoundError, AttributeError):
+        from roman_tpu.interop import load_reference_map
+
+        return load_reference_map(path)
 
 
 @dataclasses.dataclass

@@ -55,7 +55,13 @@ class MapRunner:
         self.camera = camera
         self.pose_data = pose_data
         self.fastsam_params = fastsam_params
-        self.mapper = Mapper(mapper_params, camera)
+        self.mapper_params = mapper_params
+        self.device_mapper = mapper_params.mapper_backend == "device"
+        if self.device_mapper:
+            # constructed lazily once the descriptor dim is known
+            self.mapper = None
+        else:
+            self.mapper = Mapper(mapper_params, camera)
         self.frontend = frontend
         self.dt = dt
         self.t0 = pose_data.t0 if t0 is None else t0
@@ -64,6 +70,15 @@ class MapRunner:
 
     def frame_times(self) -> np.ndarray:
         return np.arange(self.t0, self.tf, self.dt)
+
+    def _get_device_mapper(self, desc_dim: int):
+        from roman_tpu.map.batch_mapper import BatchMapper
+
+        if self.mapper is None:
+            self.mapper = BatchMapper(
+                self.mapper_params, self.camera, desc_dim=desc_dim,
+                obs_capacity=self.fastsam_params.max_masks_per_frame)
+        return self.mapper
 
     def run(self, get_frames: Callable[[np.ndarray], tuple],
             verbose: bool = False) -> RomanMap:
@@ -81,22 +96,33 @@ class MapRunner:
             poses = [self.pose_data.pose(float(t)) for t in ts]
             out = self.frontend.run_batch(images, depths)
             t_percep = time.time()
-            obs_lists = self.frontend.observations(out, ts, poses)
-            for t, pose, obs, fd in zip(ts, poses, obs_lists, out.frame_descriptors):
-                self.mapper.update(float(t), np.asarray(pose), obs, fd)
+            if self.device_mapper:
+                # one device dispatch for the whole frame batch
+                mapper = self._get_device_mapper(out.embeddings.shape[-1])
+                val = out.points_valid & out.valid[..., None]
+                mapper.update_batch(
+                    ts, np.stack(poses), out.points, val, out.embeddings,
+                    out.valid & val.any(-1),
+                    frame_descriptors=out.frame_descriptors)
+            else:
+                obs_lists = self.frontend.observations(out, ts, poses)
+                for t, pose, obs, fd in zip(ts, poses, obs_lists,
+                                            out.frame_descriptors):
+                    self.mapper.update(float(t), np.asarray(pose), obs, fd)
             t_map = time.time()
             n = len(ts)
             self.times.fastsam_times += [(t_percep - t_start) / n] * n
             self.times.map_times += [(t_map - t_percep) / n] * n
             self.times.total_times += [(t_map - t_start) / n] * n
             if verbose:
-                print(f"mapping t={ts[-1]:.1f}/{self.tf:.1f} "
-                      f"segments={len(self.mapper.segments)}")
+                print(f"mapping t={ts[-1]:.1f}/{self.tf:.1f}")
         return self.mapper.get_roman_map()
 
     def run_observations(self, observation_source, verbose: bool = False) -> RomanMap:
         """Run from a pre-built observation stream:
         observation_source(t) -> (pose, [Observation], frame_descriptor)."""
+        if self.device_mapper:
+            return self._run_observations_device(observation_source)
         for t in self.frame_times():
             t_start = time.time()
             pose, obs, fd = observation_source(float(t))
@@ -106,4 +132,40 @@ class MapRunner:
             self.times.fastsam_times.append(t_percep - t_start)
             self.times.map_times.append(t_end - t_percep)
             self.times.total_times.append(t_end - t_start)
+        return self.mapper.get_roman_map()
+
+    def _run_observations_device(self, observation_source) -> RomanMap:
+        """Observation-stream path on the device mapper: frames are packed
+        on the host and dispatched in batches of batch_frames."""
+        B = max(self.fastsam_params.batch_frames, 1)
+        all_times = self.frame_times()
+        for s in range(0, len(all_times), B):
+            ts = all_times[s: s + B]
+            t_start = time.time()
+            frames = [observation_source(float(t)) for t in ts]
+            desc_dim = None
+            for _, obs, _ in frames:
+                for o in obs:
+                    if o.semantic_descriptor is not None:
+                        desc_dim = np.asarray(o.semantic_descriptor).size
+                        break
+                if desc_dim:
+                    break
+            mapper = self._get_device_mapper(desc_dim or 8)
+            packed = [mapper.pack_observations(obs) for _, obs, _ in frames]
+            pts = np.stack([p[0] for p in packed])
+            val = np.stack([p[1] for p in packed])
+            desc = np.stack([p[2] for p in packed])
+            mask = np.stack([p[3] for p in packed])
+            poses = np.stack([f[0] for f in frames])
+            fds = [f[2] for f in frames]
+            t_percep = time.time()
+            mapper.update_batch(
+                ts, poses, pts, val, desc, mask,
+                frame_descriptors=fds if fds[0] is not None else None)
+            t_end = time.time()
+            n = len(ts)
+            self.times.fastsam_times += [(t_percep - t_start) / n] * n
+            self.times.map_times += [(t_end - t_percep) / n] * n
+            self.times.total_times += [(t_end - t_start) / n] * n
         return self.mapper.get_roman_map()

