@@ -91,6 +91,11 @@ def main():
                 output_path=os.path.join(args.output_dir, "map", run_name),
                 run_name=run_name,
                 max_time=args.max_time,
+                viz_params=mapping.VisualizationParams(
+                    viz_map=args.viz_map,
+                    viz_observations=args.viz_observations,
+                    viz_3d=args.viz_3d,
+                ),
                 verbose=True,
                 gt_csv_path=os.path.join(args.output_dir, "gt", f"{run_name}.csv"),
             )

@@ -163,6 +163,14 @@ def mapping(params_path: str, output_path: str, run_name: str,
         roman_map = RomanMap.concatenate(chunks)
 
     roman_map.save(output_path + ".pkl")
+    if viz_params is not None and getattr(viz_params, "viz_3d", False):
+        # third-person map-building video (reference viz.py:86-276)
+        from roman_tpu.viz import render_map_video
+
+        vid = render_map_video(
+            roman_map, output_path + ".mp4",
+            fps=max(getattr(viz_params, "vid_rate", 1.0) * 6.0, 1.0))
+        print(f"wrote 3D map video to {vid}")
     with open(output_path + ".time.txt", "w") as f:
         for name, vals in [("fastsam", times.fastsam_times),
                            ("map", times.map_times),

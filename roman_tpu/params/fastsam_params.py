@@ -44,6 +44,10 @@ class FastSAMParams:
     batch_frames: int = 8
     max_masks_per_frame: int = 64
     max_points_per_mask: int = 256
+    # network architecture selection (the reference picks nets via weight
+    # files; here the arch is explicit so tests/benches can shrink it)
+    seg_arch: str = "fastsam-x"    # fastsam-x | fastsam-s | tiny
+    vit_arch: str = "dinov2-base"  # dinov2-base | dinov2-small | tiny
 
     def __post_init__(self):
         if self.frame_descriptor is not None and self.frame_descriptor.lower() == "none":

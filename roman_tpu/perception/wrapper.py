@@ -66,8 +66,8 @@ class PerceptionFrontend:
     would inject noise, so it must be opted into)."""
 
     def __init__(self, params: FastSAMParams, camera: CameraParams,
-                 seg_cfg: fastsam.YoloSegConfig = fastsam.FASTSAM_X,
-                 vit_cfg=dinov2.DINOV2_BASE,
+                 seg_cfg: Optional[fastsam.YoloSegConfig] = None,
+                 vit_cfg=None,
                  seg_variables=None, vit_variables=None,
                  yolo_cfg: Optional[fastsam.YoloSegConfig] = None,
                  yolo_variables=None,
@@ -76,8 +76,20 @@ class PerceptionFrontend:
                  seed: int = 0):
         self.params = params
         self.camera = camera
-        self.seg_cfg = seg_cfg
-        self.vit_cfg = vit_cfg
+        self.seg_cfg = seg_cfg if seg_cfg is not None else {
+            "fastsam-x": fastsam.FASTSAM_X,
+            "fastsam-s": fastsam.FASTSAM_S,
+            "tiny": fastsam.TINY_TEST,
+        }[params.seg_arch]
+        self.vit_cfg = vit_cfg if vit_cfg is not None else {
+            "dinov2-base": dinov2.DINOV2_BASE,
+            "dinov2-small": dinov2.DINOV2_SMALL,
+            "tiny": dataclasses.replace(
+                dinov2.DINOV2_SMALL, width=64, depth=2, heads=4,
+                img_size=84, dtype=jnp.float32),
+        }[params.vit_arch]
+        seg_cfg = self.seg_cfg
+        vit_cfg = self.vit_cfg
         self.seg_model = fastsam.YoloSeg(seg_cfg)
         self.vit_model = dinov2.make_model(vit_cfg)
         key = jax.random.PRNGKey(seed)

@@ -121,3 +121,122 @@ def plot_correspondences(map1, map2, correspondences: np.ndarray, ax=None):
                 color="lawngreen", linestyle="dotted")
     ax.set_aspect("equal")
     return ax
+
+
+# ------------------------------------------------------------------------ #
+# offscreen 3D rendering + video compositing (reference viz.py:86-276:
+# open3d offscreen third-person render composited next to the camera
+# image; matplotlib-Agg serves as the GL-free renderer here)
+# ------------------------------------------------------------------------ #
+
+def render_map_frame(segments, trajectory, pose, t: Optional[float] = None,
+                     view_radius: float = 20.0, figsize=(5, 5),
+                     dpi: int = 100) -> np.ndarray:
+    """One third-person 3D frame of the map around the current pose.
+
+    segments: SegmentData list (only those first_seen <= t are drawn when
+    t is given); trajectory (T, 4, 4) poses up to now; pose (4, 4) current.
+    Returns an RGB uint8 image.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=figsize, dpi=dpi)
+    ax = fig.add_subplot(projection="3d")
+    p = np.asarray(pose)[:3, 3]
+    for seg in segments:
+        if t is not None and getattr(seg, "first_seen", 0.0) > t:
+            continue
+        c = np.asarray(seg.center).reshape(3)
+        if np.linalg.norm(c[:2] - p[:2]) > view_radius:
+            continue
+        col = np.array(_seg_color(seg.id)) / 255.0
+        ax.scatter([c[0]], [c[1]], [c[2]], s=14, color=col)
+        if getattr(seg, "extent", None) is not None:
+            e = np.asarray(seg.extent).reshape(3) / 2.0
+            # wireframe AABB around the center
+            corners = c + np.array([[sx, sy, sz] for sx in (-e[0], e[0])
+                                    for sy in (-e[1], e[1])
+                                    for sz in (-e[2], e[2])])
+            for a, b in ((0, 1), (0, 2), (0, 4), (3, 1), (3, 2), (3, 7),
+                         (5, 1), (5, 4), (5, 7), (6, 2), (6, 4), (6, 7)):
+                ax.plot(*zip(corners[a], corners[b]), color=col,
+                        linewidth=0.5, alpha=0.6)
+    tr = np.asarray(trajectory)
+    if len(tr):
+        ax.plot(tr[:, 0, 3], tr[:, 1, 3], tr[:, 2, 3], color="black",
+                linewidth=1.5)
+    ax.scatter([p[0]], [p[1]], [p[2]], color="red", s=40, marker="^")
+    ax.set_xlim(p[0] - view_radius, p[0] + view_radius)
+    ax.set_ylim(p[1] - view_radius, p[1] + view_radius)
+    ax.set_zlim(p[2] - 5.0, p[2] + 5.0)
+    # third-person view: elevated, behind the robot's heading
+    yaw = np.degrees(np.arctan2(pose[1, 0], pose[0, 0]))
+    ax.view_init(elev=35.0, azim=yaw + 180.0)
+    ax.set_axis_off()
+    fig.tight_layout(pad=0)
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img
+
+
+def compose_frames(cam_img: Optional[np.ndarray],
+                   map_img: np.ndarray) -> np.ndarray:
+    """Side-by-side composite of the camera image and the 3D render
+    (reference run.py:169-198 visualization compositing)."""
+    if cam_img is None:
+        return map_img
+    cam = np.asarray(cam_img)
+    if cam.dtype != np.uint8:
+        cam = (np.clip(cam, 0, 1) * 255).astype(np.uint8)
+    if cam.ndim == 2:
+        cam = np.stack([cam] * 3, axis=-1)
+    h = map_img.shape[0]
+    if cam.shape[0] != h:
+        import cv2 as cv
+
+        w = int(cam.shape[1] * h / cam.shape[0])
+        cam = cv.resize(cam, (w, h))
+    return np.concatenate([cam, map_img], axis=1)
+
+
+def write_video(frames, path: str, fps: float = 6.0) -> str:
+    """Write frames (list of HxWx3 uint8) to a video file. Falls back from
+    mp4 to MJPG avi when the codec is unavailable."""
+    import cv2 as cv
+
+    assert len(frames), "no frames"
+    h, w = frames[0].shape[:2]
+    attempts = [(path, "mp4v")] if path.endswith(".mp4") else []
+    attempts.append((path.rsplit(".", 1)[0] + ".avi", "MJPG"))
+    for out_path, codec in attempts:
+        vw = cv.VideoWriter(out_path, cv.VideoWriter_fourcc(*codec), fps,
+                            (w, h))
+        if not vw.isOpened():
+            continue
+        for f in frames:
+            if f.shape[:2] != (h, w):
+                f = cv.resize(f, (w, h))
+            vw.write(cv.cvtColor(f, cv.COLOR_RGB2BGR))
+        vw.release()
+        return out_path
+    raise RuntimeError("no usable video codec (tried mp4v, MJPG)")
+
+
+def render_map_video(roman_map, path: str, fps: float = 6.0,
+                     stride: int = 4, view_radius: float = 20.0,
+                     cam_imgs=None) -> str:
+    """Third-person map-building video over a RomanMap's trajectory
+    (reference viz.py:86-276 composited video)."""
+    frames = []
+    traj = np.asarray(roman_map.trajectory)
+    times = np.asarray(roman_map.times)
+    for k in range(0, len(times), max(stride, 1)):
+        img = render_map_frame(roman_map.segments, traj[: k + 1], traj[k],
+                               t=float(times[k]), view_radius=view_radius)
+        cam = cam_imgs[k] if cam_imgs is not None else None
+        frames.append(compose_frames(cam, img))
+    return write_video(frames, path, fps)

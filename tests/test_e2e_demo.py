@@ -59,14 +59,16 @@ def test_artifact_tree(demo_output):
 
 
 def test_loop_closures_found(demo_output):
+    # this config reliably yields 13 cross-robot LC edges; gate hugs it
     g2o = (demo_output / "align" / "robot0_robot1" / "align.g2o").read_text()
     n_lc = g2o.count("EDGE_SE3:QUAT")
-    assert n_lc >= 3, f"only {n_lc} cross-robot loop closures"
+    assert n_lc >= 8, f"only {n_lc} cross-robot loop closures"
 
 
 def test_ate_gate(demo_output):
-    """CI acceptance gate (roman.yml ATE < 1.5 m analog; threshold scaled
-    to this sim's odometry drift + shorter trajectories)."""
+    """CI acceptance gate (roman.yml ATE < 1.5 m analog). The demo
+    achieves 0.40 m on this world; 1.0 m leaves 2.5x margin for
+    platform/jit variation while staying under the reference's gate."""
     ate = float((demo_output / "offline_rpgo" / "ate_rmse.txt").read_text())
     assert np.isfinite(ate)
-    assert ate < 3.0, f"ATE RMSE {ate} too high"
+    assert ate < 1.0, f"ATE RMSE {ate} too high"
