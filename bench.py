@@ -411,7 +411,17 @@ def main():
     ap.add_argument("--perception", action="store_true",
                     help="also measure perception frames/sec (adds a large "
                          "one-time compile)")
+    ap.add_argument("--profile", type=str, default=None, metavar="DIR",
+                    help="capture a JAX profiler trace to DIR")
     args = ap.parse_args()
+
+    if args.profile:
+        import atexit
+
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        atexit.register(jax.profiler.stop_trace)
 
     if args.cpu:
         import jax

@@ -48,12 +48,22 @@ def main():
     parser.add_argument("--cpu", action="store_true",
                         help="force jax onto CPU (this environment pins "
                              "JAX_PLATFORMS in sitecustomize)")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a JAX profiler trace of the whole run "
+                             "to DIR (view with xprof/tensorboard)")
     args = parser.parse_args()
 
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.profile:
+        import atexit
+
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        atexit.register(jax.profiler.stop_trace)
 
     params_dir = args.params
     sa_path = os.path.join(params_dir, "submap_align.yaml")

