@@ -91,16 +91,6 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
     # measurably shrinks the solved cliques on real workloads
     _hi = jax.lax.Precision.HIGHEST
 
-    def expand1(Q):  # symmetric (n, n) -> (N, N): out[i, j] = Q[a_i, a_j]
-        t = jnp.dot(ROW, Q, preferred_element_type=jnp.float32, precision=_hi)
-        return jnp.dot(t, ROWT, preferred_element_type=jnp.float32,
-                       precision=_hi)
-
-    def expand2(Q):  # symmetric (m, m) -> (N, N): out[i, j] = Q[b_i, b_j]
-        t = jnp.dot(COL, Q, preferred_element_type=jnp.float32, precision=_hi)
-        return jnp.dot(t, COLT, preferred_element_type=jnp.float32,
-                       precision=_hi)
-
     def flat_col(Qt):  # (m, n) transposed layout -> (N, 1): Q[a_i, b_i]
         t = jnp.dot(COL, Qt.astype(jnp.float32),
                     preferred_element_type=jnp.float32, precision=_hi)
@@ -111,27 +101,49 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
                     preferred_element_type=jnp.float32, precision=_hi)
         return jnp.sum(ROWT * t, axis=0, keepdims=True)
 
-    def pair_geom(c, ct):
-        # c (k, 3), ct (3, k) -> symmetric distance / |dz| / dxy matrices
-        dx = c[:, 0:1] - ct[0:1, :]
-        dy = c[:, 1:2] - ct[1:2, :]
-        dz = c[:, 2:3] - ct[2:3, :]
-        dxy2 = dx * dx + dy * dy
-        return jnp.sqrt(dxy2 + dz * dz + 1e-20), jnp.abs(dz), jnp.sqrt(dxy2 + 1e-20)
+    def coord_flat(c, ct, SEL, SELT):
+        """Per-association endpoint coordinates as flat col/row vectors:
+        three (xq_col (N, 1), xq_row (1, N)) pairs with
+        xq_col[i] = c[e_i, q] for the association's endpoint e_i. These
+        tiny exact matmuls replace the (N, N) selector expansions of the
+        intra-map distance matrices: the big geometry tensors then come
+        from pure VPU broadcasts of exact coordinates (same f32 values,
+        ~6 GFLOP/pair cheaper)."""
+        cols = [
+            jnp.dot(SEL, c[:, q:q + 1], preferred_element_type=jnp.float32,
+                    precision=_hi)
+            for q in range(3)
+        ]
+        rows = [
+            jnp.dot(ct[q:q + 1, :], SELT, preferred_element_type=jnp.float32,
+                    precision=_hi)
+            for q in range(3)
+        ]
+        return cols, rows
+
+    def pair_geom_flat(cols, rows):
+        """Expanded intra-map geometry: D[i, j] = ||c[e_i] - c[e_j]||,
+        |dz|, dxy — all (N, N), computed entirely on the VPU."""
+        dX = cols[0] - rows[0]
+        dY = cols[1] - rows[1]
+        dZ = cols[2] - rows[2]
+        dxy2 = dX * dX + dY * dY
+        return (jnp.sqrt(dxy2 + dZ * dZ + 1e-20), jnp.abs(dZ),
+                jnp.sqrt(dxy2 + 1e-20))
 
     num_comp = 1 + int(inv.use_ratio) + int(inv.use_cosine)
     vrows = []
     for k in range(K):
         # ---- pairwise distance consistency (invariants.distance_consistency)
-        D1, dz1, dxy1 = pair_geom(c1_ref[k], c1t_ref[k])
-        D2, dz2, dxy2 = pair_geom(c2_ref[k], c2t_ref[k])
-        D1e = expand1(D1)
-        D2e = expand2(D2)
+        D1e, dz1e, dxy1e = pair_geom_flat(
+            *coord_flat(c1_ref[k], c1t_ref[k], ROW, ROWT))
+        D2e, dz2e, dxy2e = pair_geom_flat(
+            *coord_flat(c2_ref[k], c2t_ref[k], COL, COLT))
         gate = (D1e > inv.mindist) & (D2e > inv.mindist)
         if inv.gravity:
             slack = np.sin(inv.gravity_unc_ang_rad) * jnp.maximum(D1e, D2e)
-            cz = jnp.maximum(jnp.abs(expand1(dz1) - expand2(dz2)) - slack, 0.0)
-            cxy = jnp.abs(expand1(dxy1) - expand2(dxy2))
+            cz = jnp.maximum(jnp.abs(dz1e - dz2e) - slack, 0.0)
+            cxy = jnp.abs(dxy1e - dxy2e)
             cdist = jnp.sqrt(cz * cz + cxy * cxy + 1e-20)
         else:
             cdist = jnp.abs(D1e - D2e)

@@ -40,7 +40,7 @@ from roman_tpu.data.camera import CameraParams
 from roman_tpu.map.roman_map import RomanMap, SegmentData
 from roman_tpu.ops.geometry import obb_volume_extent, shape_attributes
 from roman_tpu.ops.hungarian import auction_assignment
-from roman_tpu.ops.voxel import voxel_downsample, voxel_iou_points
+from roman_tpu.ops.voxel import voxel_downsample, voxel_iou_cross
 from roman_tpu.params.mapper_params import MapperParams
 
 # lifecycle states
@@ -113,9 +113,9 @@ class BatchMapper:
             trackable = (state.status == NURSERY) | (state.status == ACTIVE)
 
             # ---- association scores (segment x observation) ----
-            iou = voxel_iou_points(
-                state.points[:, None], state.points_valid[:, None],
-                obs_pts[None, :, :, :], obs_valid[None, :, :],
+            # keys computed once per set (shared world grid), not per pair
+            iou = voxel_iou_cross(
+                state.points, state.points_valid, obs_pts, obs_valid,
                 vs_iou, iom_as_iou=iom,
             )  # (S, O)
             geo_norm = (iou - geo_lo) / jnp.maximum(geo_hi - geo_lo, 1e-9)
@@ -214,9 +214,9 @@ class BatchMapper:
 
             # ---- merge: highest-IOU overlapping live pair per frame ----
             live2 = (status == NURSERY) | (status == ACTIVE)
-            pair_iou = voxel_iou_points(
-                points[:, None], points_valid[:, None],
-                points[None, :], points_valid[None, :], vs_iou, iom_as_iou=iom)
+            pair_iou = voxel_iou_cross(
+                points, points_valid, points, points_valid, vs_iou,
+                iom_as_iou=iom)
             upper = jnp.triu(jnp.ones((S, S), bool), 1)
             mergeable = upper & live2[:, None] & live2[None, :] & (pair_iou >= geo_lo)
             flat = jnp.where(mergeable, pair_iou, -1.0).reshape(-1)

@@ -175,3 +175,46 @@ def voxel_downsample_np(points: np.ndarray, voxel_size: float) -> np.ndarray:
     sums = np.zeros((len(cnt), 3))
     np.add.at(sums, inv, pts)
     return sums / cnt[:, None]
+
+
+def voxel_iou_cross(
+    points1: jax.Array,
+    mask1: jax.Array,
+    points2: jax.Array,
+    mask2: jax.Array,
+    voxel_size: float,
+    iom_as_iou: bool = False,
+) -> jax.Array:
+    """All-pairs voxel IOU between two collections of point sets.
+
+    points1 (S, P, 3), points2 (O, Q, 3) -> (S, O). Unlike broadcasting
+    voxel_iou_points over the pair grid (whose per-PAIR origin forces
+    S*O key sorts), the voxel keys here are computed ONCE per set against
+    a single shared origin — the integer-aligned world-grid semantics of
+    the reference VoxelGrid (voxel_grid.py:32-83). This is the mapper's
+    association/merge scoring hot path (S^2 pairs per frame).
+
+    Coordinate span: the shared grid covers _SPAN voxels per axis
+    (~200 m at the 0.2 m association voxel); point sets farther apart
+    than that clip to the span edge, which only affects pairs too far
+    apart to genuinely overlap.
+    """
+    big = 1e9
+    lo1 = jnp.min(jnp.where(mask1[..., None], points1, big), axis=(0, 1))
+    lo2 = jnp.min(jnp.where(mask2[..., None], points2, big), axis=(0, 1))
+    origin = jnp.floor(jnp.minimum(lo1, lo2) / voxel_size).astype(jnp.int32)
+    k1, n1 = _sorted_unique(voxel_keys(points1, mask1, voxel_size, origin))
+    k2, n2 = _sorted_unique(voxel_keys(points2, mask2, voxel_size, origin))
+    hit = jnp.any(
+        (k1[:, None, :, None] == k2[None, :, None, :])
+        & (k1[:, None, :, None] != _INVALID),
+        axis=-1,
+    )  # (S, O, P)
+    inter = jnp.sum(hit, axis=-1).astype(jnp.float32)
+    n1 = n1.astype(jnp.float32)[:, None]
+    n2 = n2.astype(jnp.float32)[None, :]
+    if iom_as_iou:
+        denom = jnp.minimum(n1, n2)
+    else:
+        denom = n1 + n2 - inter
+    return jnp.where(denom > 0, inter / jnp.maximum(denom, 1.0), 0.0)

@@ -35,6 +35,8 @@ class FastSAMParams:
     yolo_imgsz: Tuple[int, int] = (256, 256)
     depth_scale: float = 1e3
     max_depth: float = 7.5
+    pcd_stride: int = 4  # depth-lifting pixel stride (reference
+                         # setup_rgbd_params default, fastsam_wrapper.py:215)
     triangle_ignore_masks: Optional[List] = None
     conf: float = 0.5
     iou: float = 0.9

@@ -228,11 +228,25 @@ class PerceptionFrontend:
                 dinov2.IMAGENET_STD)
             _, patches = vit_model.apply(variables["vit"], vit_in)
             if not use_clip:
-                # mean per-pixel DINO embedding (fastsam_wrapper.py:407-414);
+                # mean per-pixel DINO embedding (fastsam_wrapper.py:407-414)
+                # computed as mask-weighted PATCH pooling: weight each patch
+                # token by the fraction of mask pixels it covers — identical
+                # to the per-pixel mean over nearest-upsampled features, but
+                # it never materializes the (B, H, W, 768) pixel-feature
+                # tensor (0.9 GB/frame of HBM traffic at 480x640).
                 # rotation-invariant: the mean runs over the same pixel set
-                pix_feats = upsample_patch_features(
-                    patches.astype(jnp.float32), Hr, Wr)
-                emb = jax.vmap(masked_mean_embedding)(pix_feats, masks_r)
+                p14 = vit_cfg.patch
+                tg_h, tg_w = gh // p14, gw // p14
+                mg = jax.image.resize(
+                    masks_r.astype(jnp.float32), (B, max_masks, gh, gw),
+                    "nearest")
+                w = mg.reshape(B, max_masks, tg_h, p14, tg_w, p14).mean(
+                    axis=(3, 5)).reshape(B, max_masks, tg_h * tg_w)
+                tok = patches.astype(jnp.float32).reshape(
+                    B, tg_h * tg_w, -1)  # (B, gh_t, gw_t, D) -> (B, T, D)
+                emb = jnp.einsum("bkt,btd->bkd", w, tok)
+                emb = emb / jnp.maximum(
+                    jnp.sum(w, axis=-1, keepdims=True), 1e-9)
                 emb = emb / jnp.maximum(
                     jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9)
             fdesc = frame_descriptor(patches.astype(jnp.float32),
@@ -277,8 +291,13 @@ class PerceptionFrontend:
             if p.erosion_size > 0:
                 lift_masks = erode_masks(masks, 2 * p.erosion_size + 1)
             pts_img = depth_image_to_points(depths, K)  # (B, H, W, 3)
-            depth_ok = (depths > 1e-3)
-            near_ok = depths <= p.max_depth
+            # pixel stride for lifting (reference pcd_stride, :215 — the
+            # o3d create_from_depth_image stride); also bounds the top_k
+            s = max(p.pcd_stride, 1)
+            lift_masks = lift_masks[..., ::s, ::s]
+            pts_img = pts_img[:, ::s, ::s]
+            depth_ok = (depths[:, ::s, ::s] > 1e-3)
+            near_ok = depths[:, ::s, ::s] <= p.max_depth
 
             def lift_one(masks_k, pts, d_ok, n_ok):
                 def lift_mask(m):
@@ -290,11 +309,18 @@ class PerceptionFrontend:
                     sel = sel & n_ok
                     # subsample to fixed capacity via top_k on masked score
                     flat = sel.reshape(-1)
+                    k_eff = min(n_pts, flat.shape[0])
                     scores = flat.astype(jnp.float32) * (
                         1.0 + 0.5 * _hash01(jnp.arange(flat.shape[0])))
-                    _, idx = jax.lax.top_k(scores, n_pts)
+                    _, idx = jax.lax.top_k(scores, k_eff)
                     pv = flat[idx] & (n_all > 0) & frac_ok
-                    return pts.reshape(-1, 3)[idx], pv
+                    out_p = pts.reshape(-1, 3)[idx]
+                    if k_eff < n_pts:  # strided image smaller than capacity
+                        out_p = jnp.concatenate(
+                            [out_p, jnp.zeros((n_pts - k_eff, 3), out_p.dtype)])
+                        pv = jnp.concatenate(
+                            [pv, jnp.zeros((n_pts - k_eff,), bool)])
+                    return out_p, pv
 
                 return jax.vmap(lift_mask)(masks_k)
 
