@@ -408,8 +408,8 @@ def main():
                     help="skip the fused pallas engine (XLA path only)")
     ap.add_argument("--no-mapping", action="store_true",
                     help="skip the device-mapper throughput metric")
-    ap.add_argument("--perception", action="store_true",
-                    help="also measure perception frames/sec (adds a large "
+    ap.add_argument("--no-perception", action="store_true",
+                    help="skip the perception frames/sec metric (saves its "
                          "one-time compile)")
     ap.add_argument("--profile", type=str, default=None, metavar="DIR",
                     help="capture a JAX profiler trace to DIR")
@@ -475,7 +475,7 @@ def main():
             n_quality=args.quality_pairs))
     if not args.no_mapping:
         record["mapping_frames_per_sec"] = round(run_mapping_bench(), 2)
-    if args.perception:
+    if not args.no_perception and not args.cpu:
         record["perception_frames_per_sec"] = round(run_perception_bench(), 2)
     print(json.dumps(record))
 

@@ -105,11 +105,22 @@ def run(params_path: str, run_name: str, max_time: Optional[float] = None,
                            t0=t0, tf=tf, dt=data_params.dt)
         roman_map = runner.run_observations(source, verbose=verbose)
         return roman_map, runner.times, gt_pose_data
-    elif data_type == "npz":
-        # archive with images (T,H,W,3) uint8, depths (T,H,W) float, times (T,)
+    elif data_type in ("npz", "dir", "zip"):
         spec = data_params.img_data_params
-        arr = np.load(os.path.expanduser(spec["path"]))
-        images, depths, times = arr["images"], arr["depths"], arr["times"]
+        from roman_tpu.data.img_data import ImgData
+
+        if data_type == "npz":
+            # archive with images (T,H,W,3), depths (T,H,W), times (T,)
+            img_data = ImgData.from_npz(
+                os.path.expanduser(spec["path"]),
+                depth_scale=spec.get("depth_scale", 1.0))
+        elif data_type == "dir":
+            img_data = ImgData.from_dir(
+                spec["path"], depth_scale=spec.get("depth_scale", 1000.0))
+        else:
+            img_data = ImgData.from_zip(
+                spec["path"], depth_scale=spec.get("depth_scale", 1000.0))
+        images, depths, times = img_data.images, img_data.depths, img_data.times
         pose_data = data_params.load_pose_data()
         camera = data_params.load_camera_params()
         t0 = max(times[0], pose_data.t0) + t_offset
@@ -119,9 +130,11 @@ def run(params_path: str, run_name: str, max_time: Optional[float] = None,
         runner = MapRunner(mapper_params, fastsam_params, camera, pose_data,
                            t0=t0, tf=tf, dt=data_params.dt)
 
+        scale = 255.0 if images.dtype == np.uint8 else 1.0
+
         def get_frames(ts):
             idx = np.argmin(np.abs(times[None, :] - np.asarray(ts)[:, None]), axis=1)
-            return images[idx].astype(np.float32) / 255.0, depths[idx]
+            return images[idx].astype(np.float32) / scale, depths[idx]
 
         roman_map = runner.run(get_frames, verbose=verbose)
         return roman_map, runner.times, None

@@ -69,6 +69,49 @@ class ImgData:
             depths=np.stack(depths) if depths else None,
         )
 
+    @classmethod
+    def from_zip(cls, path: str, depth_subdir: str = "depth",
+                 depth_scale: float = 1000.0) -> "ImgData":
+        """Zip archives of timestamp-named images (the reference ingests
+        image zips via robotdatapy, README.md:122). Layout mirrors
+        from_dir: color images at the root (or any folder), depth images
+        under <depth_subdir>/ with matching names."""
+        import io
+        import zipfile
+
+        import cv2 as cv
+
+        times, imgs, depths = [], [], []
+        with zipfile.ZipFile(os.path.expanduser(path)) as zf:
+            names = [n for n in zf.namelist()
+                     if n.lower().endswith((".png", ".jpg", ".jpeg"))]
+            color = sorted(n for n in names
+                           if f"{depth_subdir}/" not in n)
+            depth_names = {os.path.basename(n): n for n in names
+                           if f"{depth_subdir}/" in n}
+            for n in color:
+                stem = os.path.splitext(os.path.basename(n))[0]
+                try:
+                    t = float(stem) * (1e-9 if len(stem) > 12 else 1.0)
+                except ValueError:
+                    continue
+                buf = np.frombuffer(zf.read(n), np.uint8)
+                img = cv.imdecode(buf, cv.IMREAD_COLOR)
+                if img is None:
+                    continue
+                times.append(t)
+                imgs.append(img[..., ::-1])  # BGR -> RGB
+                dn = depth_names.get(os.path.basename(n))
+                if dn is not None:
+                    dbuf = np.frombuffer(zf.read(dn), np.uint8)
+                    d = cv.imdecode(dbuf, cv.IMREAD_UNCHANGED)
+                    depths.append(np.asarray(d, np.float32) / depth_scale)
+        return cls(
+            times=np.asarray(times),
+            images=np.stack(imgs),
+            depths=np.stack(depths) if depths else None,
+        )
+
     def idx(self, t) -> np.ndarray:
         t = np.atleast_1d(np.asarray(t, np.float64))
         return np.argmin(np.abs(self.times[None, :] - t[:, None]), axis=1)

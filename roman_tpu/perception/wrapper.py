@@ -343,7 +343,28 @@ class PerceptionFrontend:
             return dict(masks=masks_ds, valid=ok, points=pts_k, points_valid=pts_v,
                         embeddings=emb, frame_descriptors=fdesc)
 
-        return jax.jit(fn)
+        def packed(variables, images_u8, depths_f16, tri_ignore):
+            """Transfer-optimized wrapper: uint8 images + f16 depths in,
+            TWO flat output buffers out (one uint8, one f32). The
+            host<->device link on this deployment is ~30 MB/s with
+            per-transfer latency, so transfer bytes and transfer COUNT both
+            matter more than device flops."""
+            images = images_u8.astype(jnp.float32) / 255.0
+            depths = depths_f16.astype(jnp.float32)
+            out = fn(variables, images, depths, tri_ignore)
+            u8 = jnp.concatenate([
+                out["masks"].astype(jnp.uint8).reshape(-1),
+                out["valid"].astype(jnp.uint8).reshape(-1),
+                out["points_valid"].astype(jnp.uint8).reshape(-1),
+            ])
+            f32 = jnp.concatenate([
+                out["points"].reshape(-1),
+                out["embeddings"].reshape(-1),
+                out["frame_descriptors"].reshape(-1),
+            ])
+            return u8, f32
+
+        return jax.jit(packed)
 
     def _variables(self):
         v = {"seg": self.seg_variables, "vit": self.vit_variables}
@@ -361,16 +382,43 @@ class PerceptionFrontend:
         return self._tri_cache[key]
 
     def run_batch(self, images: np.ndarray, depths: np.ndarray) -> PerceptionOutput:
-        """images (B, H, W, 3) float [0,1]; depths (B, H, W) meters."""
+        """images (B, H, W, 3) float [0,1] or uint8; depths (B, H, W) m."""
         if self._jitted is None:
             self._jitted = self._build()
-        H, W = images.shape[1:3]
-        out = self._jitted(self._variables(),
-                           jnp.asarray(images, jnp.float32),
-                           jnp.asarray(depths, jnp.float32),
-                           jnp.asarray(self._tri_mask(H, W)))
-        out = jax.tree.map(np.asarray, out)
-        return PerceptionOutput(**out)
+        B, H, W = images.shape[:3]
+        if images.dtype != np.uint8:
+            images = np.clip(np.asarray(images) * 255.0, 0, 255).astype(
+                np.uint8)
+        u8, f32 = self._jitted(self._variables(),
+                               jnp.asarray(images),
+                               jnp.asarray(depths, np.float16),
+                               jnp.asarray(self._tri_mask(H, W)))
+        u8 = np.asarray(u8)
+        f32 = np.asarray(f32)
+        # unpack by static layout
+        p = self.params
+        K = p.max_masks_per_frame
+        f = p.mask_downsample_factor
+        P = p.max_points_per_mask
+        if self.clip_model is not None:
+            D = self.clip_cfg.proj_dim or self.clip_cfg.width
+        else:
+            D = self.vit_cfg.width
+        mh, mw = len(range(0, H, f)), len(range(0, W, f))
+        sizes_u8 = [B * K * mh * mw, B * K, B * K * P]
+        m_end = sizes_u8[0]
+        v_end = m_end + sizes_u8[1]
+        masks = u8[:m_end].reshape(B, K, mh, mw).astype(bool)
+        valid = u8[m_end:v_end].reshape(B, K).astype(bool)
+        pv = u8[v_end:v_end + sizes_u8[2]].reshape(B, K, P).astype(bool)
+        p_end = B * K * P * 3
+        e_end = p_end + B * K * D
+        points = f32[:p_end].reshape(B, K, P, 3)
+        emb = f32[p_end:e_end].reshape(B, K, D)
+        fdesc = f32[e_end:].reshape(B, -1)
+        return PerceptionOutput(masks=masks, valid=valid, points=points,
+                                points_valid=pv, embeddings=emb,
+                                frame_descriptors=fdesc)
 
     def observations(self, out: PerceptionOutput, times, poses) -> List[List[Observation]]:
         """Unpack padded device outputs into per-frame Observation lists

@@ -49,3 +49,28 @@ def test_align_pointcloud_projects_depth(rng):
     # behind-camera point never rendered
     assert (depth >= 0).all()
     assert np.count_nonzero(depth[0]) == 2
+
+
+def test_img_data_from_zip(tmp_path, rng):
+    """Zip-archive ingestion (reference image-zip path, README.md:122)."""
+    import zipfile
+
+    import cv2 as cv
+
+    from roman_tpu.data.img_data import ImgData
+
+    zpath = tmp_path / "frames.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for k in range(3):
+            t = 1000.0 + 0.5 * k
+            img = (rng.uniform(0, 255, (24, 32, 3))).astype(np.uint8)
+            ok, buf = cv.imencode(".png", img)
+            zf.writestr(f"{t:.6f}.png", buf.tobytes())
+            d = (rng.uniform(500, 5000, (24, 32))).astype(np.uint16)
+            ok, dbuf = cv.imencode(".png", d)
+            zf.writestr(f"depth/{t:.6f}.png", dbuf.tobytes())
+    data = ImgData.from_zip(str(zpath))
+    assert data.images.shape == (3, 24, 32, 3)
+    assert data.depths.shape == (3, 24, 32)
+    np.testing.assert_allclose(data.times, [1000.0, 1000.5, 1001.0])
+    assert data.depths.max() <= 5.0 + 1e-6  # scaled to meters
