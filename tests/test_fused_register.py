@@ -85,3 +85,29 @@ def test_fused_assoc_mask(rng):
     )
     assert np.array_equal(np.asarray(rx.sel), np.asarray(rp.sel))
     assert np.array_equal(np.asarray(rx.count), np.asarray(rp.count))
+
+
+def test_fused_unequal_capacities(rng):
+    """n != m capacities exercise the asymmetric selector/flatten paths."""
+    f1, f2 = _features(rng, P=2, cap=12)
+    f2 = jax.tree.map(lambda x: x[:, :8] if x.ndim >= 2 else x, f2)
+    kw = dict(method="roman", cos_min=0.5, cos_max=0.9)
+    rx = register_clipper(f1, f2, RegistrationConfig(**kw))
+    rp = register_clipper(
+        f1, f2, RegistrationConfig(**kw, use_pallas=True,
+                                   pallas_interpret=True))
+    assert rp.sel.shape == (2, 12, 8)
+    assert np.array_equal(np.asarray(rx.sel), np.asarray(rp.sel))
+    assert np.array_equal(np.asarray(rx.count), np.asarray(rp.count))
+
+
+def test_fused_all_invalid(rng):
+    """Fully-padded (invalid) pairs must yield zero associations, not NaNs."""
+    f1, f2 = _features(rng, P=2)
+    f1 = f1.replace(valid=jnp.zeros_like(f1.valid))
+    cfg = RegistrationConfig(method="roman", cos_min=0.5, cos_max=0.9,
+                             use_pallas=True, pallas_interpret=True)
+    rp = register_clipper(f1, f2, cfg)
+    assert (np.asarray(rp.count) == 0).all()
+    assert not np.asarray(rp.ok).any()
+    assert np.isfinite(np.asarray(rp.u)).all()
