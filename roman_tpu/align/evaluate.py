@@ -58,11 +58,16 @@ class PRSweep:
 
     @property
     def auc(self) -> float:
-        """Area under the PR curve (trapezoid over recall)."""
-        order = np.argsort(self.recalls)
-        r = np.concatenate([[0.0], self.recalls[order]])
-        p = np.concatenate([[self.precisions[order[0]] if len(order) else 1.0],
-                            self.precisions[order]])
+        """Area under the PR curve (trapezoid over recall); thresholds
+        with no predictions (nan precision) are skipped."""
+        ok = np.isfinite(self.precisions) & np.isfinite(self.recalls)
+        rs = self.recalls[ok]
+        ps = self.precisions[ok]
+        if len(rs) == 0:
+            return float("nan")
+        order = np.argsort(rs)
+        r = np.concatenate([[0.0], rs[order]])
+        p = np.concatenate([[ps[order[0]]], ps[order]])
         return float(np.trapezoid(p, r))
 
 
@@ -354,15 +359,33 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser(description="Evaluate submap alignment results")
-    ap.add_argument("results", nargs="+", help="align .pkl result files")
+    ap.add_argument("results", nargs="+", help="align .pkl result files "
+                    "(one per robot pair, (0,1),(0,2),(1,2),... order)")
     ap.add_argument("--angle-thresh", type=float, default=10.0)
     ap.add_argument("--dist-thresh", type=float, default=5.0)
     ap.add_argument("--min-assoc", type=int, default=4)
+    ap.add_argument("--rm-overlap", action="store_true",
+                    help="drop nearby pairs whose camera frustums cannot "
+                         "overlap (reference evaluate.py:436-502)")
+    ap.add_argument("--cam", type=float, nargs=3, metavar=("W", "H", "F"),
+                    default=(640.0, 480.0, 500.0),
+                    help="camera width/height/focal for --rm-overlap")
+    ap.add_argument("--overlap-dist-bounds", type=float, nargs=2,
+                    default=(0.0, 20.0))
     args = ap.parse_args()
     results = [SubmapAlignResults.load(p) for p in args.results]
-    ev = SubmapAlignEvaluator(
-        results, EvalParams(args.angle_thresh, args.dist_thresh,
-                            min_assoc=args.min_assoc))
+    params = EvalParams(args.angle_thresh, args.dist_thresh,
+                        min_assoc=args.min_assoc,
+                        rm_non_camera_overlap=args.rm_overlap,
+                        cam_view_dist_bounds=tuple(args.overlap_dist_bounds))
+    cams = None
+    if args.rm_overlap:
+        from roman_tpu.data.camera import CameraParams
+
+        w, h, f = args.cam
+        n = int(np.ceil((1 + np.sqrt(1 + 8 * len(results))) / 2))
+        cams = [CameraParams.simple(width=int(w), height=int(h), f=f)] * n
+    ev = SubmapAlignEvaluator(results, params, camera_params=cams)
     print(ev.report())
 
 

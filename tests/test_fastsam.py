@@ -152,3 +152,29 @@ def test_ultralytics_converter_structure(rng):
     # converted weights actually run
     out = model.apply(converted, jnp.zeros((1, 64, 64, 3)))
     assert out["proto"].shape[0] == 1
+
+
+def test_real_scale_parameter_counts():
+    """The full-size architectures must be at the published weight scales
+    (FastSAM-x == YOLOv8x-seg ~72M params, DINOv2-base ~86M) — guards
+    against silent scale regressions in the configs the converters target
+    (reference loads FastSAM-x.pt / dinov2-base, fastsam_wrapper.py:90,
+    :184-188)."""
+    import jax
+
+    def n_params(tree):
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+    model = fastsam.YoloSeg(fastsam.FASTSAM_X)
+    v = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
+                                          jnp.zeros((1, 64, 64, 3))))
+    n = n_params(v["params"])
+    assert 6.0e7 < n < 8.5e7, n
+
+    from roman_tpu.perception import dinov2
+
+    vit = dinov2.make_model(dinov2.DINOV2_BASE)
+    vv = jax.eval_shape(lambda: vit.init(jax.random.PRNGKey(0),
+                                         jnp.zeros((1, 518, 518, 3))))
+    nv = n_params(vv["params"])
+    assert 8.0e7 < nv < 9.5e7, nv
