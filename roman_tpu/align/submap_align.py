@@ -123,19 +123,31 @@ class PairGridRegistrar:
         COUNT dominates the wall clock)."""
         if sig not in self._jitted:
             fn = self._registration_fn()
-            shard = None
             if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                # explicit SPMD: each device registers its shard of the
+                # chunk's pair axis (features replicated — they're tiny,
+                # SURVEY §2.4 — so no collectives during the solve). Unlike
+                # sharding constraints, shard_map also partitions pallas
+                # kernels correctly on real meshes.
+                from jax.sharding import PartitionSpec as P
 
-                shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+                try:
+                    from jax.experimental.shard_map import shard_map
+                except ImportError:  # newer jax
+                    from jax import shard_map
+
+                axis = self.mesh.axis_names[0]
+                fn = shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(P(), P(), P(), P(), P(axis), P(axis), P()),
+                    out_specs=P(axis),
+                    check_rep=False,
+                )
 
             def all_chunks(feats1, feats2, ids1_all, ids2_all, idx_i, idx_j, key):
                 # idx_i/idx_j: (n_chunks, C)
                 def one(chunk):
                     ci, cj = chunk
-                    if shard is not None:
-                        ci = jax.lax.with_sharding_constraint(ci, shard)
-                        cj = jax.lax.with_sharding_constraint(cj, shard)
                     return fn(feats1, feats2, ids1_all, ids2_all, ci, cj, key)
 
                 return jax.lax.map(one, (idx_i, idx_j))

@@ -39,3 +39,33 @@ def test_registrar_sharded_matches_unsharded(rng):
     np.testing.assert_array_equal(res0.count, res1.count)
     np.testing.assert_array_equal(res0.sel, res1.sel)
     np.testing.assert_allclose(res0.T_align, res1.T_align, atol=1e-4)
+
+
+def test_registrar_sharded_pallas_interpret(rng):
+    """The fused pallas register kernel under shard_map over the virtual
+    mesh (interpret mode on CPU; on TPU pods shard_map partitions the
+    kernel per device)."""
+    _, runs = world.make_multi_robot_world(
+        rng, n_robots=2, n_objects=120, area=(50.0, 50.0, 4.0),
+        traj_len=40.0, desc_dim=8,
+    )
+    maps = [world.roman_map_from_run(r) for r in runs]
+    cfg = RegistrationConfig(method="roman", cos_min=0.5, cos_max=0.9,
+                             use_pallas=True, pallas_interpret=True)
+    params = SubmapParams(max_size=8, radius=12.0, distance=12.0)
+    submaps = [submaps_from_roman_map(m, params) for m in maps]
+    feats, auxs = zip(*[
+        submaps_to_features(sm, cfg, capacity=8, desc_dim=8) for sm in submaps
+    ])
+    n0 = feats[0].centers.shape[0]
+    n1 = feats[1].centers.shape[0]
+    pi, pj = np.meshgrid(np.arange(n0), np.arange(n1), indexing="ij")
+    pi, pj = pi.reshape(-1)[:16], pj.reshape(-1)[:16]
+
+    plain = PairGridRegistrar(cfg, chunk_size=16)
+    res0 = plain(feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"], pi, pj)
+    mesh = get_mesh(8)
+    sharded = PairGridRegistrar(cfg, chunk_size=16, mesh=mesh)
+    res1 = sharded(feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"], pi, pj)
+    np.testing.assert_array_equal(res0.count, res1.count)
+    np.testing.assert_array_equal(res0.sel, res1.sel)
