@@ -28,7 +28,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def build_workload(seed=0, n_objects=1000, traj_len=240.0, desc_dim=768,
-                   max_size=40):
+                   max_size=40, n_robots=2):
     from roman_tpu.sim import world
     from roman_tpu.map.roman_map import SubmapParams, submaps_from_roman_map
     from roman_tpu.map.roman_map import submaps_to_features
@@ -36,7 +36,7 @@ def build_workload(seed=0, n_objects=1000, traj_len=240.0, desc_dim=768,
 
     rng = np.random.default_rng(seed)
     _, runs = world.make_multi_robot_world(
-        rng, n_robots=2, n_objects=n_objects, area=(100.0, 100.0, 4.0),
+        rng, n_robots=n_robots, n_objects=n_objects, area=(100.0, 100.0, 4.0),
         traj_len=traj_len, desc_dim=desc_dim,
         # VIO-grade drift (~0.2%/m): LC correctness vs GT then reflects
         # registration quality instead of accumulated odometry drift.
@@ -107,6 +107,39 @@ def compute_lc_quality(res, auxs, runs, pair_i, pair_j, **kw):
     return lc_quality_from_lists(
         np.asarray(res.ok), np.asarray(res.count), np.asarray(res.T_align),
         T_ij_all, **kw)
+
+
+def run_multirobot(feats, auxs, cfg, chunk_size=32, repeats=2):
+    """Every robot-pair grid in ONE dispatch: all robots' submaps are
+    concatenated into a single pool and the cross-robot pair list spans
+    all (a, b) robot pairs — the production multi-robot sweep (reference
+    demo.py:138-161 runs one pair of robots at a time, serially)."""
+    import jax
+
+    from roman_tpu.align.submap_align import PairGridRegistrar
+
+    pool = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0),
+                        *[jax.tree.map(np.asarray, f) for f in feats])
+    ids = np.concatenate([a["seg_ids"] for a in auxs], axis=0)
+    offs = np.cumsum([0] + [f.centers.shape[0] for f in feats])
+    pis, pjs = [], []
+    for a in range(len(feats)):
+        for b in range(a + 1, len(feats)):
+            na = offs[a + 1] - offs[a]
+            nb = offs[b + 1] - offs[b]
+            pi, pj = np.meshgrid(np.arange(na), np.arange(nb), indexing="ij")
+            pis.append(pi.reshape(-1) + offs[a])
+            pjs.append(pj.reshape(-1) + offs[b])
+    pair_i = np.concatenate(pis)
+    pair_j = np.concatenate(pjs)
+
+    registrar = PairGridRegistrar(cfg, chunk_size=chunk_size)
+    registrar(pool, pool, ids, ids, pair_i, pair_j)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        registrar(pool, pool, ids, ids, pair_i, pair_j)
+    dt = (time.perf_counter() - t0) / repeats
+    return len(pair_i), len(pair_i) / dt
 
 
 def run_tpu(feats, auxs, cfg, chunk_size=32, repeats=2):
@@ -413,6 +446,9 @@ def main():
                          "one-time compile)")
     ap.add_argument("--profile", type=str, default=None, metavar="DIR",
                     help="capture a JAX profiler trace to DIR")
+    ap.add_argument("--robots", type=int, default=2,
+                    help="robots in the sim world; >2 additionally runs "
+                         "the all-robot-pairs sweep in one dispatch")
     args = ap.parse_args()
 
     if args.profile:
@@ -428,9 +464,10 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    submaps, feats, auxs, cfg, runs = build_workload(desc_dim=args.desc_dim)
+    submaps, feats, auxs, cfg, runs = build_workload(
+        desc_dim=args.desc_dim, n_robots=args.robots)
     P, xla_pps, res_xla, pair_i, pair_j = run_tpu(
-        feats, auxs, cfg, chunk_size=args.chunk, repeats=args.repeats)
+        feats[:2], auxs[:2], cfg, chunk_size=args.chunk, repeats=args.repeats)
 
     # fused VMEM-resident pallas engine (TPU only; measured ~2.1x the XLA
     # path on v5e, so it is the headline path when available)
@@ -451,7 +488,7 @@ def main():
     pps = pallas_pps if use_pal else xla_pps
     res = res_pal if use_pal else res_xla
 
-    base_pps = run_baseline(feats, cfg, n_sample=args.baseline_samples)
+    base_pps = run_baseline(feats[:2], cfg, n_sample=args.baseline_samples)
     lc_p, lc_r = compute_lc_quality(res, auxs, runs, pair_i, pair_j)
     record = {
         "metric": "submap_align_pairs_per_sec",
@@ -469,9 +506,19 @@ def main():
     }
     if pallas_pps is not None:
         record["pallas_pairs_per_sec"] = round(pallas_pps, 2)
+    if args.robots > 2:
+        import dataclasses as _dc
+
+        cfg_mr = (_dc.replace(cfg, use_pallas=True)
+                  if use_pal and not args.cpu else cfg)
+        mr_pairs, mr_pps = run_multirobot(feats, auxs, cfg_mr,
+                                          chunk_size=args.chunk)
+        record["multirobot_pairs"] = mr_pairs
+        record["multirobot_pairs_per_sec"] = round(mr_pps, 2)
+        record["robots"] = args.robots
     if args.quality_pairs > 0:
         record.update(run_quality_comparison(
-            feats, auxs, runs, cfg, res, pair_i, pair_j,
+            feats[:2], auxs, runs, cfg, res, pair_i, pair_j,
             n_quality=args.quality_pairs))
     if not args.no_mapping:
         record["mapping_frames_per_sec"] = round(run_mapping_bench(), 2)
