@@ -105,7 +105,7 @@ def run(params_path: str, run_name: str, max_time: Optional[float] = None,
                            t0=t0, tf=tf, dt=data_params.dt)
         roman_map = runner.run_observations(source, verbose=verbose)
         return roman_map, runner.times, gt_pose_data
-    elif data_type in ("npz", "dir", "zip"):
+    elif data_type in ("npz", "dir", "zip", "bag"):
         spec = data_params.img_data_params
         from roman_tpu.data.img_data import ImgData
 
@@ -117,6 +117,11 @@ def run(params_path: str, run_name: str, max_time: Optional[float] = None,
         elif data_type == "dir":
             img_data = ImgData.from_dir(
                 spec["path"], depth_scale=spec.get("depth_scale", 1000.0))
+        elif data_type == "bag":
+            img_data = ImgData.from_bag(
+                os.path.expanduser(spec["path"]), spec["topic"],
+                depth_topic=spec.get("depth_topic"),
+                depth_scale=spec.get("depth_scale", 1000.0))
         else:
             img_data = ImgData.from_zip(
                 spec["path"], depth_scale=spec.get("depth_scale", 1000.0))

@@ -70,6 +70,29 @@ class ImgData:
         )
 
     @classmethod
+    def from_bag(cls, path: str, topic: str, depth_topic: str = None,
+                 depth_scale: float = 1000.0) -> "ImgData":
+        """ROS1 bag ingestion (reference loads bags via robotdatapy,
+        data_params.py:200-294) through the pure-python reader in
+        roman_tpu.data.rosbag — no ROS installation needed. Color topics
+        may be Image or CompressedImage; depth topics 16UC1/mono16 (scaled
+        by depth_scale) or 32FC1 (meters)."""
+        from roman_tpu.data import rosbag
+
+        times, images = rosbag.read_images(path, topic)
+        if images.ndim == 3:  # mono stream -> replicate to 3 channels
+            images = np.repeat(images[..., None], 3, axis=-1)
+        depths = None
+        if depth_topic is not None:
+            dt_, darr = rosbag.read_images(path, depth_topic)
+            if darr.dtype != np.float32:
+                darr = darr.astype(np.float32) / depth_scale
+            # match each color frame to the nearest depth frame
+            idx = np.argmin(np.abs(dt_[None, :] - times[:, None]), axis=1)
+            depths = darr[idx]
+        return cls(times=times, images=images, depths=depths)
+
+    @classmethod
     def from_zip(cls, path: str, depth_subdir: str = "depth",
                  depth_scale: float = 1000.0) -> "ImgData":
         """Zip archives of timestamp-named images (the reference ingests

@@ -47,14 +47,26 @@ class PoseData:
         return cls(times=t, poses=T, **kw)
 
     @classmethod
+    def from_bag(cls, path, topic, **kw):
+        """Pose stream from a ROS1 bag topic (Odometry / PoseStamped /
+        PoseWithCovarianceStamped / TransformStamped / TFMessage), via the
+        pure-python reader in roman_tpu.data.rosbag (reference reads bags
+        through robotdatapy, data_params.py:200-294)."""
+        from roman_tpu.data import rosbag
+
+        times, T = rosbag.read_poses(path, topic)
+        return cls(times=times, poses=T, **kw)
+
+    @classmethod
     def from_yaml_spec(cls, spec: dict, **kw):
         """Pose data from a yaml dict like the reference's GT pose yaml
-        (submap_align.py:49-58). Supported types: 'csv'."""
+        (submap_align.py:49-58). Supported types: 'csv', 'bag'."""
         kind = spec.get("type", "csv")
         if kind == "csv":
             return cls.from_csv(spec["path"], **kw)
-        raise ValueError(f"unsupported pose data type {kind!r} (bag ingestion "
-                         "requires ROS, out of scope for this environment)")
+        if kind == "bag":
+            return cls.from_bag(spec["path"], spec["topic"], **kw)
+        raise ValueError(f"unsupported pose data type {kind!r}")
 
     def nearest_time(self, t: float) -> float:
         return float(self.times[self.idx(t)])

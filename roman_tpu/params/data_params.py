@@ -68,12 +68,19 @@ class DataParams:
     def load_pose_data(self) -> PoseData:
         p = dict(self.pose_data_params or {})
         path = expandvars_recursive(p.pop("path"))
-        p.pop("type", None)
+        kind = p.pop("type", "csv")
+        if kind == "bag":
+            return PoseData.from_bag(path, p["topic"],
+                                     **{k: v for k, v in p.items()
+                                        if k in ("interp", "time_tol", "t0_shift")})
         return PoseData.from_csv(path, **{k: v for k, v in p.items()
                                           if k in ("time_col", "delimiter", "skiprows")})
 
     def load_camera_params(self) -> CameraParams:
         p = self.img_data_params or {}
+        if p.get("type") == "bag" and "camera_info_topic" in p:
+            return CameraParams.from_bag(expandvars_recursive(p["path"]),
+                                         p["camera_info_topic"])
         if "K" in p:
             K = np.array(p["K"]).reshape(3, 3)
             return CameraParams(K=K, width=p.get("width", 640), height=p.get("height", 480))
