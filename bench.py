@@ -6,8 +6,9 @@ written to align.timing.txt). This benchmark measures our batched TPU
 engine on a realistic workload — 40-object submaps with 768-d semantic
 descriptors over a full 2-robot pair grid — against a serial
 reference-equivalent CPU implementation (same invariant math, same
-iteration counts, vectorized numpy per pair, which is level with or
-faster than the per-pair Eigen C++ it stands in for).
+iteration counts): a native C++ per-pair solver
+(roman_tpu/native/clipper_ref.cpp, g++ -O3, the honest stand-in for the
+per-pair Eigen C++ clipperpy loop), with a vectorized-numpy fallback.
 
 Prints ONE json line:
   {"metric": "submap_align_pairs_per_sec", "value": ..., "unit": "pairs/s",
@@ -248,19 +249,39 @@ def _np_solve_pair(c1, r1, d1, c2, r2, d2, cfg):
         ra.add(a_)
         rb.add(b_)
         sel.append((a_, b_))
-    T = None
-    if len(sel) >= 3:
-        p1 = c1[[a for a, _ in sel]]
-        p2 = c2[[b for _, b in sel]]
-        m1, m2 = p1.mean(0), p2.mean(0)
-        H = (p2 - m2).T @ (p1 - m1)
-        U, _, Vh = np.linalg.svd(H)
-        S = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vh))])
-        R = (U @ S @ Vh).T
-        T = np.eye(4)
-        T[:3, :3] = R
-        T[:3, 3] = m1 - R @ m2
-    return sel, T
+    return sel, _arun_from_sel(c1, c2, sel)
+
+
+def _arun_from_sel(c1, c2, sel):
+    if len(sel) < 3:
+        return None
+    p1 = c1[[a for a, _ in sel]]
+    p2 = c2[[b for _, b in sel]]
+    m1, m2 = p1.mean(0), p2.mean(0)
+    H = (p2 - m2).T @ (p1 - m1)
+    U, _, Vh = np.linalg.svd(H)
+    S = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vh))])
+    R = (U @ S @ Vh).T
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = m1 - R @ m2
+    return T
+
+
+def _native_solve_pair(c1, r1, d1, c2, r2, d2, cfg):
+    """One serial C++ reference-equivalent solve (roman_tpu.native
+    clipper_ref.cpp — same math and iteration budget as _np_solve_pair,
+    standing in for the reference's per-pair Eigen clipperpy loop).
+    Returns (sel, T) or None if the native lib is unavailable."""
+    from roman_tpu import native
+
+    sel = native.clipper_ref_solve_native(
+        c1, r1, d1, c2, r2, d2, cfg.sigma, cfg.epsilon, cfg.mindist,
+        cfg.cos_min, cfg.cos_max)
+    if sel is None:
+        return None
+    sel = [(int(a), int(b)) for a, b in sel]
+    return sel, _arun_from_sel(c1, c2, sel)
 
 
 def _pair_features(feats, i, j):
@@ -276,16 +297,22 @@ def _pair_features(feats, i, j):
 
 def run_baseline(feats, cfg, n_sample=3):
     """Serial per-pair solve throughput with the same math + iteration
-    budget (pairs spread across the grid for representative sizes)."""
+    budget (pairs spread across the grid for representative sizes).
+    Prefers the native C++ solve (roman_tpu/native/clipper_ref.cpp, the
+    honest stand-in for the reference's per-pair Eigen C++); falls back
+    to the vectorized-numpy equivalent. Returns (pairs/s, engine)."""
     n0 = feats[0].centers.shape[0]
     n1 = feats[1].centers.shape[0]
+    probe = _native_solve_pair(*_pair_features(feats, 0, 0), cfg)
+    solve = _native_solve_pair if probe is not None else _np_solve_pair
+    engine = "cpp" if probe is not None else "numpy"
     t0 = time.perf_counter()
     for k in range(n_sample):
         i = (k * n0) // n_sample
         j = (k * n1 * 3 // 2) % n1
-        _np_solve_pair(*_pair_features(feats, i, j), cfg)
+        solve(*_pair_features(feats, i, j), cfg)
     dt = (time.perf_counter() - t0) / n_sample
-    return 1.0 / dt
+    return 1.0 / dt, engine
 
 
 def run_quality_comparison(feats, auxs, runs, cfg, res, pair_i, pair_j,
@@ -488,7 +515,8 @@ def main():
     pps = pallas_pps if use_pal else xla_pps
     res = res_pal if use_pal else res_xla
 
-    base_pps = run_baseline(feats[:2], cfg, n_sample=args.baseline_samples)
+    base_pps, base_engine = run_baseline(feats[:2], cfg,
+                                         n_sample=args.baseline_samples)
     lc_p, lc_r = compute_lc_quality(res, auxs, runs, pair_i, pair_j)
     record = {
         "metric": "submap_align_pairs_per_sec",
@@ -499,6 +527,7 @@ def main():
         "engine": "pallas_fused" if use_pal else "xla",
         "xla_pairs_per_sec": round(xla_pps, 2),
         "baseline_pairs_per_sec": round(base_pps, 3),
+        "baseline_engine": base_engine,
         "lc_precision": round(lc_p, 3),
         "lc_recall": round(lc_r, 3),
         "submap_capacity": 40,

@@ -131,18 +131,19 @@ class PairGridRegistrar:
                 # kernels correctly on real meshes.
                 from jax.sharding import PartitionSpec as P
 
-                try:
-                    from jax.experimental.shard_map import shard_map
-                except ImportError:  # newer jax
-                    from jax import shard_map
-
                 axis = self.mesh.axis_names[0]
-                fn = shard_map(
-                    fn, mesh=self.mesh,
+                specs = dict(
                     in_specs=(P(), P(), P(), P(), P(axis), P(axis), P()),
                     out_specs=P(axis),
-                    check_rep=False,
                 )
+                if hasattr(jax, "shard_map"):  # jax >= 0.8
+                    fn = jax.shard_map(fn, mesh=self.mesh, check_vma=False,
+                                       **specs)
+                else:
+                    from jax.experimental.shard_map import shard_map
+
+                    fn = shard_map(fn, mesh=self.mesh, check_rep=False,
+                                   **specs)
 
             def all_chunks(feats1, feats2, ids1_all, ids2_all, idx_i, idx_j, key):
                 # idx_i/idx_j: (n_chunks, C)

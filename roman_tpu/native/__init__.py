@@ -17,7 +17,8 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "g2o_parser.cpp")
+_SRCS = [os.path.join(_DIR, "g2o_parser.cpp"),
+         os.path.join(_DIR, "clipper_ref.cpp")]
 _LIB = os.path.join(_DIR, "libroman_native.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -27,7 +28,7 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-shared", "-fPIC", *_SRCS, "-o", _LIB],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -40,7 +41,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    src_mtime = max(os.path.getmtime(s) for s in _SRCS if os.path.exists(s))
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
         if not _build():
             return None
     try:
@@ -59,6 +61,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.hungarian_solve.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p
     ]
+    lib.clipper_ref_solve.restype = ctypes.c_int
+    lib.clipper_ref_solve.argtypes = (
+        [ctypes.c_void_p] * 3 + [ctypes.c_int]
+        + [ctypes.c_void_p] * 3 + [ctypes.c_int] * 3
+        + [ctypes.c_double] * 5 + [ctypes.c_void_p]
+    )
     _lib = lib
     return _lib
 
@@ -111,3 +119,30 @@ def hungarian_native(cost: np.ndarray):
     match = np.full(n, -1, np.int32)
     lib.hungarian_solve(cost.ctypes.data, n, m, match.ctypes.data)
     return match
+
+
+def clipper_ref_solve_native(c1, r1, d1, c2, r2, d2, sigma, epsilon, mindist,
+                             cos_min, cos_max):
+    """Serial per-pair C++ CLIPPER reference solve (the benchmark
+    baseline; stands in for the reference's Eigen clipperpy hot loop,
+    object_registration.py:22-29). Returns a list of (a, b) association
+    index pairs, or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    c1 = np.ascontiguousarray(c1, np.float64)
+    r1 = np.ascontiguousarray(r1, np.float64)
+    d1 = np.ascontiguousarray(d1, np.float64)
+    c2 = np.ascontiguousarray(c2, np.float64)
+    r2 = np.ascontiguousarray(r2, np.float64)
+    d2 = np.ascontiguousarray(d2, np.float64)
+    n1, n2 = len(c1), len(c2)
+    sel = np.empty((min(n1, n2), 2), np.int32)
+    n = lib.clipper_ref_solve(
+        c1.ctypes.data, r1.ctypes.data, d1.ctypes.data, n1,
+        c2.ctypes.data, r2.ctypes.data, d2.ctypes.data, n2,
+        r1.shape[1], d1.shape[1],
+        float(sigma), float(epsilon), float(mindist),
+        float(cos_min), float(cos_max),
+        sel.ctypes.data)
+    return [tuple(p) for p in sel[:n]]
