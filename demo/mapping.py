@@ -118,10 +118,28 @@ def run(params_path: str, run_name: str, max_time: Optional[float] = None,
             img_data = ImgData.from_dir(
                 spec["path"], depth_scale=spec.get("depth_scale", 1000.0))
         elif data_type == "bag":
+            from roman_tpu.utils import expandvars_recursive as _exp
+
+            # depth may live on a topic in the same bag (depth_topic) or
+            # in a separate depth_data source (reference data.yaml
+            # schema: img_data + depth_data blocks)
+            dspec = data_params.depth_data_params or {}
             img_data = ImgData.from_bag(
-                os.path.expanduser(spec["path"]), spec["topic"],
+                os.path.expanduser(_exp(spec["path"])), _exp(spec["topic"]),
                 depth_topic=spec.get("depth_topic"),
                 depth_scale=spec.get("depth_scale", 1000.0))
+            if img_data.depths is None and dspec.get("type") == "bag":
+                from roman_tpu.data import rosbag as _rosbag
+
+                dt_, darr = _rosbag.read_images(
+                    os.path.expanduser(_exp(dspec["path"])),
+                    _exp(dspec["topic"]))
+                if darr.dtype != np.float32:  # 16UC1 mm -> meters
+                    darr = darr.astype(np.float32) / dspec.get(
+                        "depth_scale", 1000.0)
+                idx = np.argmin(np.abs(dt_[None, :]
+                                       - img_data.times[:, None]), axis=1)
+                img_data.depths = darr[idx]
         else:
             img_data = ImgData.from_zip(
                 spec["path"], depth_scale=spec.get("depth_scale", 1000.0))

@@ -58,14 +58,42 @@ class PoseData:
         return cls(times=times, poses=T, **kw)
 
     @classmethod
+    def from_csv_options(cls, path, csv_options: dict, **kw):
+        """Reference gt_pose.yaml csv schema (robotdatapy csv options,
+        reference params/demo/gt_pose.yaml): explicit column numbers for
+        time / position / orientation(qx qy qz qw) plus a timescale."""
+        cn = csv_options.get("col_nums", {})
+        tcol = cn.get("time", [0])[0]
+        pcols = cn.get("position", [1, 2, 3])
+        qcols = cn.get("orientation", [4, 5, 6, 7])
+        ts = float(csv_options.get("timescale", 1.0))
+        with open(path) as f:
+            first = f.readline()
+        delim = "," if "," in first else None
+        data = np.loadtxt(path, delimiter=delim, comments="#")
+        t = data[:, tcol] * ts
+        T = se3_np.xyz_quat_to_T(data[:, pcols], data[:, qcols])
+        return cls(times=t, poses=T, **kw)
+
+    @classmethod
     def from_yaml_spec(cls, spec: dict, **kw):
         """Pose data from a yaml dict like the reference's GT pose yaml
-        (submap_align.py:49-58). Supported types: 'csv', 'bag'."""
+        (submap_align.py:49-58). Supported types: 'csv' (with optional
+        robotdatapy-style csv_options), 'bag'."""
+        from roman_tpu.utils import expandvars_recursive
+
         kind = spec.get("type", "csv")
+        path = expandvars_recursive(spec["path"])
+        for opt in ("interp", "time_tol", "t0_shift"):
+            if opt in spec and opt not in kw:
+                kw[opt] = spec[opt]
         if kind == "csv":
-            return cls.from_csv(spec["path"], **kw)
+            if "csv_options" in spec:
+                return cls.from_csv_options(path, spec["csv_options"], **kw)
+            return cls.from_csv(path, **kw)
         if kind == "bag":
-            return cls.from_bag(spec["path"], spec["topic"], **kw)
+            return cls.from_bag(path, expandvars_recursive(spec["topic"]),
+                                **kw)
         raise ValueError(f"unsupported pose data type {kind!r}")
 
     def nearest_time(self, t: float) -> float:

@@ -50,6 +50,14 @@ class DataParams:
     pose_data_params: Optional[dict] = None
     dt: float = 1.0 / 6.0
 
+    # the reference's data.yaml spells these without the _params suffix
+    # (reference data_params.py:182-191: img_data / depth_data /
+    # pose_data / time); both spellings are accepted
+    _KEY_ALIASES = {"img_data": "img_data_params",
+                    "depth_data": "depth_data_params",
+                    "pose_data": "pose_data_params",
+                    "time": "time_params"}
+
     @classmethod
     def from_yaml(cls, yaml_path: str, run: Optional[str] = None) -> "DataParams":
         with open(os.path.expanduser(yaml_path)) as f:
@@ -58,6 +66,7 @@ class DataParams:
         if run is not None and isinstance(data.get(run), dict):
             base = combinedicts_recursive(base, data[run])
         base.pop(run, None)
+        base = {cls._KEY_ALIASES.get(k, k): v for k, v in base.items()}
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in base.items() if k in known})
 
@@ -69,18 +78,32 @@ class DataParams:
         p = dict(self.pose_data_params or {})
         path = expandvars_recursive(p.pop("path"))
         kind = p.pop("type", "csv")
+        # frame-convention post-multiply (reference PoseDataParams
+        # T_odombase_camera / T_camera_flu, data_params.py:200-212;
+        # robotdatapy applies it as pose @ T_postmultiply)
+        T_post = None
+        for key in ("T_postmultiply", "T_odombase_camera", "T_camera_flu"):
+            if p.get(key) is not None:
+                T_post = find_transformation(p.pop(key))
+                break
+        kw = {k: v for k, v in p.items()
+              if k in ("interp", "time_tol", "t0_shift")}
         if kind == "bag":
-            return PoseData.from_bag(path, p["topic"],
-                                     **{k: v for k, v in p.items()
-                                        if k in ("interp", "time_tol", "t0_shift")})
-        return PoseData.from_csv(path, **{k: v for k, v in p.items()
-                                          if k in ("time_col", "delimiter", "skiprows")})
+            pd = PoseData.from_bag(path, expandvars_recursive(p["topic"]), **kw)
+        else:
+            pd = PoseData.from_csv(
+                path, **{k: v for k, v in p.items()
+                         if k in ("time_col", "delimiter", "skiprows")}, **kw)
+        if T_post is not None:
+            pd.poses = pd.poses @ T_post
+        return pd
 
     def load_camera_params(self) -> CameraParams:
         p = self.img_data_params or {}
         if p.get("type") == "bag" and "camera_info_topic" in p:
-            return CameraParams.from_bag(expandvars_recursive(p["path"]),
-                                         p["camera_info_topic"])
+            return CameraParams.from_bag(
+                expandvars_recursive(p["path"]),
+                expandvars_recursive(p["camera_info_topic"]))
         if "K" in p:
             K = np.array(p["K"]).reshape(3, 3)
             return CameraParams(K=K, width=p.get("width", 640), height=p.get("height", 480))

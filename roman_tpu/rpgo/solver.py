@@ -408,3 +408,39 @@ def rpgo_solve_g2o(input_g2o: str, output_dir: str,
     write_g2o(out, result)
     print(f"rpgo: {len(out.vertices)} vertices, {len(out.edges)} edges, {diag}")
     return result
+
+
+if __name__ == "__main__":
+    # CLI mirroring the RpgoReadG2o invocation the reference spawns
+    # (reference demo/demo.py:246-250:
+    #  `RpgoReadG2o 3d <g2o> -1.0 -1.0 0.9 <outdir> v`), so external
+    # scripts driving the reference backend can point here unchanged:
+    #   python -m roman_tpu.rpgo.solver 3d in.g2o -1.0 -1.0 0.9 outdir v
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dim", choices=["3d", "2d"], help="pose dimension "
+                    "(only 3d graphs occur in this pipeline)")
+    ap.add_argument("input_g2o")
+    ap.add_argument("odom_thresh", type=float, nargs="?", default=-1.0,
+                    help="unused (Kimera-RPGO arg slot)")
+    ap.add_argument("pcm_t_thresh", type=float, nargs="?", default=-1.0,
+                    help="unused (Kimera-RPGO arg slot)")
+    ap.add_argument("pcm_thresh", type=float, nargs="?", default=0.9,
+                    help="PCM consistency threshold")
+    ap.add_argument("output_dir", nargs="?", default=".")
+    ap.add_argument("verbosity", nargs="?", default="v")
+    args = ap.parse_args()
+    if args.dim != "3d":
+        raise SystemExit("only 3d graphs are supported")
+    p = RPGOSolverParams()
+    if 0.0 < args.pcm_thresh < 1.0:
+        # Kimera passes a chi2 confidence probability; our gate is a raw
+        # chi2 value -> convert via the inverse CDF (6-DoF residual)
+        from scipy.stats import chi2 as _chi2
+
+        p = dataclasses.replace(
+            p, pcm_thresh=float(_chi2.ppf(args.pcm_thresh, df=6)))
+    elif args.pcm_thresh >= 1.0:
+        p = dataclasses.replace(p, pcm_thresh=float(args.pcm_thresh))
+    rpgo_solve_g2o(args.input_g2o, args.output_dir, p)

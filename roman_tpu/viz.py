@@ -51,9 +51,11 @@ def visualize_observations_on_img(img: np.ndarray, observations) -> np.ndarray:
 
 
 def plot_map_3d(segments, ax=None, color_by_id: bool = True, trajectory=None,
-                max_points_per_seg: int = 200):
+                max_points_per_seg: int = 200, time_range=None,
+                show_labels: bool = False, show_origin: bool = False):
     """3D scatter of the object map + trajectory (open3d third-person view
-    equivalent, viz.py:86-276)."""
+    equivalent, viz.py:86-276; time_range/show_labels/show_origin mirror
+    the reference visualize_3d flags, demo/o3d_viz.py:17-27)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -63,6 +65,12 @@ def plot_map_3d(segments, ax=None, color_by_id: bool = True, trajectory=None,
         fig = plt.figure(figsize=(8, 8))
         ax = fig.add_subplot(projection="3d")
     for seg in segments:
+        if time_range is not None:
+            first = getattr(seg, "first_seen", None)
+            last = getattr(seg, "last_seen", first)
+            if first is not None and (last < time_range[0]
+                                      or first > time_range[1]):
+                continue
         pts = getattr(seg, "points", None)
         if pts is None:
             c = np.asarray(seg.center).reshape(1, 3)
@@ -71,6 +79,12 @@ def plot_map_3d(segments, ax=None, color_by_id: bool = True, trajectory=None,
             pts = pts[:: len(pts) // max_points_per_seg]
         col = np.array(_seg_color(seg.id)) / 255.0 if color_by_id else None
         ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=2, color=col)
+        if show_labels:
+            c = np.asarray(seg.center).reshape(3)
+            ax.text(c[0], c[1], c[2], str(seg.id), fontsize=6)
+    if show_origin:
+        for axis, col in zip(np.eye(3), ("r", "g", "b")):
+            ax.plot([0, axis[0]], [0, axis[1]], [0, axis[2]], color=col)
     if trajectory is not None:
         tr = np.asarray(trajectory)
         ax.plot(tr[:, 0, 3], tr[:, 1, 3], tr[:, 2, 3], color="black", linewidth=1)
