@@ -8,8 +8,9 @@ container format and the ROS1 message wire format are parsed directly
 rules: little-endian packed primitives, uint32-length-prefixed strings
 and variable arrays, no padding).
 
-Supported chunk compressions: ``none`` and ``bz2`` (stdlib). ``lz4``
-chunks raise a clear error (the lz4 wheel is not in this environment).
+Supported chunk compressions: ``none``, ``bz2`` (stdlib) and ``lz4``
+(pure-python frame codec in roman_tpu.data.lz4 — roslz4 writes standard
+LZ4 frames; no lz4 wheel needed).
 
 Message types handled (the set the reference pipeline consumes):
 
@@ -552,10 +553,11 @@ class BagReader:
                 elif comp == "bz2":
                     inner = bz2.decompress(data)
                 elif comp == "lz4":
-                    raise ValueError(
-                        f"{self.path}: lz4-compressed chunks need the lz4 "
-                        "module (absent); re-record with bz2 or none, or "
-                        "`rosbag decompress` first")
+                    # roslz4 writes standard LZ4 frames; decoded by the
+                    # pure-python codec (no lz4 wheel needed)
+                    from roman_tpu.data import lz4
+
+                    inner = lz4.decompress_frame(data)
                 else:
                     raise ValueError(f"unknown chunk compression {comp!r}")
                 ipos = 0
@@ -615,8 +617,8 @@ class BagWriter:
 
     def __init__(self, path: str, compression: str = "none",
                  chunk_messages: int = 256):
-        if compression not in ("none", "bz2"):
-            raise ValueError("compression must be 'none' or 'bz2'")
+        if compression not in ("none", "bz2", "lz4"):
+            raise ValueError("compression must be 'none', 'bz2' or 'lz4'")
         self.path = os.path.expanduser(path)
         self.compression = compression
         self.chunk_messages = chunk_messages
@@ -696,7 +698,14 @@ class BagWriter:
             inner += struct.pack("<I", len(header)) + header
             inner += struct.pack("<I", len(raw)) + raw
         payload = bytes(inner)
-        comp = bz2.compress(payload) if self.compression == "bz2" else payload
+        if self.compression == "bz2":
+            comp = bz2.compress(payload)
+        elif self.compression == "lz4":
+            from roman_tpu.data import lz4
+
+            comp = lz4.compress_frame(payload)
+        else:
+            comp = payload
         self._write_record({b"op": bytes([_OP_CHUNK]),
                             b"compression": self.compression.encode(),
                             b"size": struct.pack("<I", len(payload))}, comp)
@@ -850,3 +859,24 @@ def read_pointclouds(path: str, topic: str) -> Tuple[np.ndarray, List[np.ndarray
         times.append(msg.get("header", {}).get("stamp", 0.0) or t)
         clouds.append(pointcloud2_to_xyz(msg))
     return np.asarray(times), clouds
+
+
+def read_static_transform(path: str, parent: str, child: str) -> np.ndarray:
+    """(4, 4) static transform parent->child from /tf_static (or /tf)
+    messages — the reference pulls sensor extrinsics from bag TF
+    (align_pointcloud.py:43-57)."""
+    from roman_tpu.ops import se3_np
+
+    reader = open_reader(path)
+    topics = [t for t in ("/tf_static", "/tf") if t in reader.topics]
+    if not topics:
+        raise KeyError(f"no /tf_static or /tf in bag (have "
+                       f"{sorted(reader.topics)})")
+    for _, msg, _ in reader.read_messages(topics):
+        for tr in msg["transforms"]:
+            if (tr["header"]["frame_id"].lstrip("/") == parent.lstrip("/")
+                    and tr["child_frame_id"].lstrip("/") == child.lstrip("/")):
+                return se3_np.xyz_quat_to_T(
+                    np.array(tr["transform"]["translation"], np.float64),
+                    np.array(tr["transform"]["rotation"], np.float64))
+    raise KeyError(f"transform {parent}->{child} not found in bag TF")

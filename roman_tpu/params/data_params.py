@@ -1,9 +1,12 @@
 """Data-loading params — schema parity with reference
-roman/params/data_params.py, minus ROS-bag ingestion (no ROS in this
-environment). Supported input types: image directories / npz archives for
-RGB-D, csv for poses; the run-env indirection (one yaml serving N robots,
-reference demo/README.md:151-169) and recursive env expansion / per-run
-dict override merge (data_params.py:177-194) are preserved."""
+roman/params/data_params.py. Supported input types: ROS1 bags / rosbag2
+(pure-python parsers, roman_tpu.data.rosbag[2]), image directories /
+zips / npz archives for RGB-D, csv for poses; both the reference's yaml
+key spellings (img_data/depth_data/pose_data/time) and the *_params
+forms are accepted; the run-env indirection (one yaml serving N robots,
+reference demo/README.md:151-169), recursive env expansion, per-run
+dict override merge (data_params.py:177-194), and pose frame
+post-multiply (T_camera_flu/T_odombase_camera) are preserved."""
 
 from __future__ import annotations
 
@@ -48,6 +51,7 @@ class DataParams:
     img_data_params: Optional[dict] = None
     depth_data_params: Optional[dict] = None
     pose_data_params: Optional[dict] = None
+    pointcloud_data_params: Optional[dict] = None
     dt: float = 1.0 / 6.0
 
     # the reference's data.yaml spells these without the _params suffix
@@ -56,6 +60,7 @@ class DataParams:
     _KEY_ALIASES = {"img_data": "img_data_params",
                     "depth_data": "depth_data_params",
                     "pose_data": "pose_data_params",
+                    "pointcloud_data": "pointcloud_data_params",
                     "time": "time_params"}
 
     @classmethod
@@ -108,3 +113,15 @@ class DataParams:
             K = np.array(p["K"]).reshape(3, 3)
             return CameraParams(K=K, width=p.get("width", 640), height=p.get("height", 480))
         return CameraParams.simple(p.get("width", 640), p.get("height", 480))
+
+    def load_pointcloud_data(self):
+        """(times, list of (N_i, 3) xyz clouds) from the pointcloud_data
+        bag source (reference load_pointcloud_data, data_params.py:214-230;
+        feeds the AlignPointCloud LiDAR path)."""
+        p = self.pointcloud_data_params or {}
+        if p.get("type", "bag") != "bag":
+            raise ValueError("pointcloud_data supports bag sources only")
+        from roman_tpu.data import rosbag
+
+        return rosbag.read_pointclouds(expandvars_recursive(p["path"]),
+                                       expandvars_recursive(p["topic"]))

@@ -170,24 +170,35 @@ def test_data_params_bag_sources(tmp_path):
     assert (cam.width, cam.height) == (12, 8)
 
 
-def test_lz4_chunks_rejected(tmp_path):
-    bag = tmp_path / "j.bag"
-    # hand-build a bag whose single chunk claims lz4 compression
-    import struct
+def test_lz4_chunks_roundtrip(tmp_path):
+    """lz4-compressed chunks through the pure-python frame codec."""
+    bag = str(tmp_path / "j.bag")
+    imgs, _, times, xyz = write_fixture_bag(bag, compression="lz4")
+    reader = rosbag.BagReader(bag)
+    msgs = list(reader.read_messages("/cam/color"))
+    np.testing.assert_array_equal(rosbag.image_to_array(msgs[3][1]), imgs[3])
+    pd = PoseData.from_bag(bag, "/odom")
+    np.testing.assert_allclose(pd.positions(), xyz, atol=1e-9)
 
-    def rec(fields, data):
-        h = rosbag._pack_header(fields)
-        return struct.pack("<I", len(h)) + h + struct.pack("<I", len(data)) + data
 
-    body = rosbag.MAGIC
-    body += rec({b"op": b"\x03", b"index_pos": struct.pack("<Q", 0),
-                 b"conn_count": struct.pack("<I", 0),
-                 b"chunk_count": struct.pack("<I", 1)}, b" " * 16)
-    body += rec({b"op": b"\x05", b"compression": b"lz4",
-                 b"size": struct.pack("<I", 0)}, b"\x00\x01")
-    bag.write_bytes(body)
-    with pytest.raises(ValueError, match="lz4"):
-        rosbag.BagReader(str(bag))
+def test_lz4_codec():
+    from roman_tpu.data import lz4
+
+    # known-answer xxh32 vectors
+    assert lz4.xxh32(b"") == 0x02CC5D05
+    assert lz4.xxh32(b"Hello World") == 0xB1FD16EE
+    # frame roundtrip (literal-run blocks), incl. multi-block
+    for payload in (b"", b"abc", bytes(range(256)) * 700):
+        assert lz4.decompress_frame(
+            lz4.compress_frame(payload, block_size=1 << 10)) == payload
+    # handcrafted block exercising the match-copy path:
+    # 4 literals "abcd", match offset 4 len 8 (overlapping copy),
+    # then 5 closing literals "wxyz!"
+    blk = bytes([0x44]) + b"abcd" + bytes([0x04, 0x00]) + \
+        bytes([0x50]) + b"wxyz!"
+    assert lz4.decompress_block(blk) == b"abcd" + b"abcdabcd" + b"wxyz!"
+    with pytest.raises(ValueError, match="magic"):
+        lz4.decompress_frame(b"\x00\x01\x02\x03\x04\x05\x06\x07")
 
 
 def test_unsupported_message_type_errors():
@@ -330,3 +341,36 @@ def test_bag_mapping_run(tmp_path):
 
 # depth images in bags are float32 here (depth_scale 1.0): the fixture
 # writes 32FC1, exercising the non-uint16 decode path
+
+
+def test_static_transform_and_pointcloud_data(tmp_path):
+    import yaml
+
+    from roman_tpu.params.data_params import DataParams
+
+    bag = str(tmp_path / "lidar.bag")
+    pts = np.array([[1.0, 0.0, 2.0], [0.0, 1.0, 3.0]], np.float32)
+    with rosbag.BagWriter(bag) as w:
+        w.write("/tf_static", "tf2_msgs/TFMessage", {"transforms": [{
+            "header": {"stamp": 0.0, "frame_id": "camera"},
+            "child_frame_id": "os_sensor",
+            "transform": {"translation": np.array([0.1, 0.0, -0.2]),
+                          "rotation": np.array([0, 0, 0, 1.0])},
+        }]}, 0.0)
+        w.write("/ouster/points", "sensor_msgs/PointCloud2",
+                rosbag.xyz_to_pointcloud2(pts, stamp=4.0), 4.0)
+    T = rosbag.read_static_transform(bag, "camera", "os_sensor")
+    np.testing.assert_allclose(T[:3, 3], [0.1, 0.0, -0.2])
+    with pytest.raises(KeyError):
+        rosbag.read_static_transform(bag, "camera", "nope")
+
+    yml = tmp_path / "data.yaml"
+    yml.write_text(yaml.safe_dump({
+        "runs": ["r0"],
+        "pointcloud_data": {"type": "bag", "path": bag,
+                            "topic": "/ouster/points"},
+    }))
+    dp = DataParams.from_yaml(str(yml), "r0")
+    times, clouds = dp.load_pointcloud_data()
+    assert times[0] == pytest.approx(4.0)
+    np.testing.assert_allclose(clouds[0], pts)
