@@ -59,7 +59,8 @@ class RegistrationConfig:
     ransac_iter: int = 4096
     max_clique: int = 64
     use_pallas: bool = False  # fused VMEM-resident pallas register kernel
-    pallas_pairs_per_step: int = 2  # pairs per kernel grid step
+    pallas_pairs_per_step: int = 4  # pairs per kernel grid step (v5e sweep:
+    # K=2 1481, K=4 1685, K=5 1689, K=6 1589 pairs/s; 8 overflows VMEM)
     pallas_interpret: bool = False  # pallas interpret mode (CPU testing)
     solver: clipper_mod.ClipperSolveParams = dataclasses.field(
         default_factory=clipper_mod.ClipperSolveParams

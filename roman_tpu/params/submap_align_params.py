@@ -49,7 +49,7 @@ class SubmapAlignParams:
 
     # TPU engine knobs (no reference equivalent)
     use_pallas: bool = False  # fused VMEM-resident register kernel
-    pallas_pairs_per_step: int = 2
+    pallas_pairs_per_step: int = 4
     per_pair_timing: bool = False  # chunk-timed dispatch for timing_list
 
     def __post_init__(self):
