@@ -94,6 +94,15 @@ def run(params_path: str, run_name: str, max_time: Optional[float] = None,
     fastsam_params = (FastSAMParams.from_yaml(fastsam_yaml, run_name)
                       if os.path.exists(fastsam_yaml) else FastSAMParams())
 
+    def clip_time(t0, tf, data_t0):
+        """Apply the data.yaml time block (reference data_params.py:
+        149-152: {relative, t0, tf} clips the run window)."""
+        tp = data_params.time_params
+        if not tp:
+            return t0, tf
+        base = data_t0 if tp.get("relative", True) else 0.0
+        return max(t0, base + tp["t0"]), min(tf, base + tp["tf"])
+
     data_type = (data_params.img_data_params or {}).get("type", "sim")
     if data_type == "sim":
         source, pose_data, gt_pose_data, _ = _sim_observation_source(
@@ -101,6 +110,7 @@ def run(params_path: str, run_name: str, max_time: Optional[float] = None,
         camera = data_params.load_camera_params()
         t0 = pose_data.t0 + t_offset
         tf = pose_data.tf if max_time is None else min(pose_data.tf, t0 + max_time)
+        t0, tf = clip_time(t0, tf, pose_data.t0)
         runner = MapRunner(mapper_params, fastsam_params, camera, pose_data,
                            t0=t0, tf=tf, dt=data_params.dt)
         roman_map = runner.run_observations(source, verbose=verbose)
@@ -150,6 +160,7 @@ def run(params_path: str, run_name: str, max_time: Optional[float] = None,
         tf = min(times[-1], pose_data.tf)
         if max_time is not None:
             tf = min(tf, t0 + max_time)
+        t0, tf = clip_time(t0, tf, max(times[0], pose_data.t0))
         runner = MapRunner(mapper_params, fastsam_params, camera, pose_data,
                            t0=t0, tf=tf, dt=data_params.dt)
 

@@ -20,7 +20,7 @@ class OfflineRPGOParams:
     # solver knobs (TPU-native robust PGO replacing the RpgoReadG2o
     # subprocess, demo/demo.py:246-250); gnc_inlier_cost mirrors Kimera's
     # PCM/GNC odometry-consistency gate at 0.9 confidence
-    gnc_iters: int = 8
+    gnc_iters: int = 25
     gn_iters: int = 6
     pcm_gate: bool = True
 

@@ -17,9 +17,15 @@ JAX implementation of the same robust-PGO recipe:
    whose matvec is edge-gather/segment-scatter — fully static-shape and
    jit-compiled, so the whole solve is one XLA program.
 
-Initialization is by spanning-tree composition of measurements (BFS from
-the first vertex), which also stitches the per-robot odometry frames
-together through the gated loop closures.
+Initialization is by maximum-priority spanning-forest composition of
+measurements (odometry first, then loop closures by descending PCM
+clique size), rooted at the g2o file initials, which stitches the
+per-robot odometry frames together through the best-supported loop
+closures. After GNC, rejected loop closures are removed entirely and the
+solve restarts from a fresh forest, so a robot whose only links were
+outliers reverts to its own odometry placement. Inter-robot LC groups
+additionally need >= pcm_min_inter_clique mutually-consistent members
+(a singleton bridging two frames is unfalsifiable under gauge freedom).
 """
 
 from __future__ import annotations
@@ -37,13 +43,26 @@ from roman_tpu.rpgo.g2o_io import G2OEdge, G2OGraph, is_loop_closure
 
 @dataclasses.dataclass
 class RPGOSolverParams:
-    gnc_iters: int = 8
+    # GNC-TLS anneals mu from barc2/(2*r2max - barc2); with large
+    # outliers that start is ~1e-3, so reaching a hard threshold needs
+    # ~25 x1.4 updates (8 left every weight in the soft <0.5 zone and
+    # rejected good LCs wholesale on multi-robot graphs)
+    gnc_iters: int = 25
     gn_iters: int = 6
     cg_iters: int = 100
-    gnc_barc2: float = 1.0          # TLS inlier threshold on chi2 (scaled resid)
+    # TLS inlier threshold on chi2 (information-scaled residual).
+    # GTSAM's GncOptimizer defaults barcSq to chi2inv(0.99, dim) — 16.81
+    # for 6-DoF edges — which is what Kimera-RPGO runs with; 1.0 was
+    # ~7x stricter than the reference backend and rejected good LCs
+    # whose map-frame spread exceeded ~2 m at lc_t_std=2 m.
+    gnc_barc2: float = 16.81
     gnc_mu_update: float = 1.4
     pcm_gate: bool = True
     pcm_thresh: float = 25.0        # chi2-ish consistency threshold
+    # inter-robot LC groups must have >= this many mutually-consistent
+    # members; a singleton bridging two frames is unfalsifiable (its
+    # residual is exactly satisfiable under gauge freedom)
+    pcm_min_inter_clique: int = 2
     damping: float = 1e-6
     gauge_weight: float = 1e6
 
@@ -68,20 +87,42 @@ def graph_to_arrays(graph: G2OGraph):
     return keys, key_to_idx, T0, ii, jj, Tm, info, lc
 
 
-def spanning_tree_init(V: int, ii, jj, Tm, use_edge: np.ndarray) -> np.ndarray:
-    """BFS spanning-tree composition of measurements from vertex 0.
+def spanning_tree_init(V: int, ii, jj, Tm, use_edge: np.ndarray,
+                       T_file: Optional[np.ndarray] = None,
+                       priority: Optional[np.ndarray] = None) -> np.ndarray:
+    """Maximum-priority spanning-forest composition of measurements.
 
     Stitches per-robot odometry frames together through accepted loop
     closures (the fused g2o's VERTEX initials keep each robot in its own
-    odom frame). Unreached components are left at their file initials'
-    offset relative to their component root.
+    odom frame). Tree edges are chosen Kruskal-style in descending
+    `priority` — odometry edges carry +inf and loop closures their PCM
+    clique size — so inter-robot frames connect through the
+    best-supported loop closure instead of an arbitrary traversal-order
+    one (a singleton false LC must not place a whole robot). Component
+    roots start at their file initials when `T_file` is given: a robot
+    whose only links were rejected keeps its own odometry-frame
+    placement instead of collapsing onto identity.
     """
+    order = np.flatnonzero(np.asarray(use_edge))
+    if priority is not None:
+        order = order[np.argsort(-np.asarray(priority, float)[order],
+                                 kind="stable")]
+    parent = np.arange(V)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
     adj: List[List[Tuple[int, int, bool]]] = [[] for _ in range(V)]
-    for e, (a, b) in enumerate(zip(ii, jj)):
-        if not use_edge[e]:
+    for e in order:
+        a, b = find(ii[e]), find(jj[e])
+        if a == b:
             continue
-        adj[a].append((b, e, False))
-        adj[b].append((a, e, True))
+        parent[a] = b
+        adj[ii[e]].append((jj[e], e, False))
+        adj[jj[e]].append((ii[e], e, True))
 
     T = np.tile(np.eye(4), (V, 1, 1))
     visited = np.zeros(V, bool)
@@ -89,6 +130,8 @@ def spanning_tree_init(V: int, ii, jj, Tm, use_edge: np.ndarray) -> np.ndarray:
         if visited[root]:
             continue
         visited[root] = True
+        if T_file is not None:
+            T[root] = T_file[root]
         stack = [root]
         while stack:
             u = stack.pop()
@@ -107,7 +150,8 @@ def spanning_tree_init(V: int, ii, jj, Tm, use_edge: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def pcm_gate(T_init: np.ndarray, ii, jj, Tm, info, lc_mask: np.ndarray,
-             thresh: float) -> np.ndarray:
+             thresh: float, return_sizes: bool = False,
+             min_inter_clique: int = 1):
     """Pairwise consistency maximization over loop closures.
 
     Two LCs (i1,j1,T1), (i2,j2,T2) are consistent if the cycle
@@ -118,8 +162,10 @@ def pcm_gate(T_init: np.ndarray, ii, jj, Tm, info, lc_mask: np.ndarray,
     Returns a keep-mask over ALL edges (odometry always kept).
     """
     lc_idx = np.flatnonzero(lc_mask)
+    sizes = np.zeros(len(ii), np.float64)
     if len(lc_idx) == 0:
-        return np.ones(len(ii), bool)
+        keep = np.ones(len(ii), bool)
+        return (keep, sizes) if return_sizes else keep
     keep = np.ones(len(ii), bool)
 
     # group LCs by (robot_i, robot_j) pair — PCM operates per robot pair;
@@ -178,10 +224,20 @@ def pcm_gate(T_init: np.ndarray, ii, jj, Tm, info, lc_mask: np.ndarray,
                 break
             if all(C[k, c] for c in chosen):
                 chosen.append(k)
-        rejected = set(es.tolist()) - {int(es[c]) for c in chosen}
-        for e in rejected:
-            keep[e] = False
-    return keep
+        # an inter-robot LC that bridges otherwise-unconnected frames is
+        # unfalsifiable downstream (gauge freedom makes its residual
+        # exactly satisfiable, so GNC sees an inlier) — require mutual
+        # confirmation for groups that connect two different components
+        inter = comp[ii[es[0]]] != comp[jj[es[0]]]
+        if inter and len(chosen) < min_inter_clique:
+            chosen = []
+        kept_es = {int(es[c]) for c in chosen}
+        for e in es:
+            if int(e) in kept_es:
+                sizes[e] = float(len(chosen))
+            else:
+                keep[e] = False
+    return (keep, sizes) if return_sizes else keep
 
 
 def _odometry_components(V: int, ii, jj, lc_mask) -> np.ndarray:
@@ -368,18 +424,46 @@ def solve_pose_graph(
     keys, key_to_idx, T_file, ii, jj, Tm, info, lc = graph_to_arrays(graph)
     V = len(keys)
 
-    # PCM gating of loop closures against odometry-only structure
+    # PCM gating of loop closures against odometry-only structure.
+    # NOTE: identity-rooted on purpose — the pairwise check compares
+    # T_ab frame-offset estimates, and rooting components at their file
+    # initials conjugates the residuals by those (large) placements,
+    # inflating translation error for any LC with a small rotation
+    # mismatch. Identity roots keep the check frame-independent.
     if params.pcm_gate and lc.any():
         T_odom = spanning_tree_init(V, ii, jj, Tm, ~lc)
-        keep = pcm_gate(T_odom, ii, jj, Tm, info, lc, params.pcm_thresh)
+        keep, clique = pcm_gate(T_odom, ii, jj, Tm, info, lc,
+                                params.pcm_thresh, return_sizes=True,
+                                min_inter_clique=params.pcm_min_inter_clique)
     else:
         keep = np.ones(len(ii), bool)
+        clique = np.where(lc, 1.0, 0.0)
 
-    T_init = spanning_tree_init(V, ii, jj, Tm, keep)
+    # stitch frames through the best-supported LCs (odometry = +inf)
+    prio = np.where(lc, clique, np.inf)
+    T_init = spanning_tree_init(V, ii, jj, Tm, keep, T_file=T_file,
+                                priority=prio)
     use = keep  # rejected LCs removed entirely (Kimera-RPGO PCM behavior)
     T_opt, w = solve_arrays(
         T_init, ii[use], jj[use], Tm[use], info[use], lc[use], params
     )
+    gnc_rejected = int((w[lc[use]] < 0.5).sum()) if use.any() else 0
+
+    # second pass: GNC-rejected LCs are removed entirely and the solve
+    # restarts from a fresh forest — a robot whose only links were
+    # outliers reverts to its file-initial (odometry-frame) placement
+    # instead of staying where the poisoned init put it
+    rej_local = lc[use] & (w < 0.5)
+    if rej_local.any():
+        keep2 = keep.copy()
+        keep2[np.flatnonzero(use)[rej_local]] = False
+        T_init2 = spanning_tree_init(V, ii, jj, Tm, keep2, T_file=T_file,
+                                     priority=prio)
+        use = keep2
+        T_opt, w = solve_arrays(
+            T_init2, ii[use], jj[use], Tm[use], info[use], lc[use], params
+        )
+        gnc_rejected += int((w[lc[use]] < 0.5).sum()) if use.any() else 0
 
     from roman_tpu.ops import se3_np
 
@@ -389,7 +473,7 @@ def solve_pose_graph(
     diag = dict(
         n_lc=int(lc.sum()),
         n_lc_pcm_rejected=int((~keep & lc).sum()),
-        n_lc_gnc_rejected=int((w[lc[use]] < 0.5).sum()) if use.any() else 0,
+        n_lc_gnc_rejected=gnc_rejected,
     )
     return out, diag
 

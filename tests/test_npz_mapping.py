@@ -86,3 +86,35 @@ def test_npz_mapping_device_mapper(tmp_path):
     n = len(roman_map.times)
     assert n >= len(times) - 1
     assert roman_map.trajectory.shape == (n, 4, 4)
+
+
+def test_time_params_clip_window(tmp_path):
+    """data.yaml 'time' block clips the run to [t0, tf] (reference
+    data_params.py:149-152)."""
+    from demo import mapping
+
+    npz, csv, times = _make_archive(tmp_path)
+    params = tmp_path / "params"
+    params.mkdir()
+    with open(params / "data.yaml", "w") as f:
+        yaml.dump({
+            "runs": ["r0"],
+            "dt": 0.25,
+            "time": {"relative": True, "t0": 0.5, "tf": 1.25},
+            "img_data_params": {"type": "npz", "path": str(npz),
+                                "width": 128, "height": 96},
+            "pose_data_params": {"type": "csv", "path": str(csv)},
+        }, f)
+    with open(params / "fastsam.yaml", "w") as f:
+        yaml.dump({"imgsz": [96, 128], "seg_arch": "tiny", "vit_arch": "tiny",
+                   "batch_frames": 4, "max_masks_per_frame": 8,
+                   "max_points_per_mask": 64, "conf": 0.0}, f)
+    with open(params / "mapper.yaml", "w") as f:
+        yaml.dump({"min_sightings": 1, "max_t_no_sightings": 2.0,
+                   "geometric_score_range": [0.05, 1.0]}, f)
+
+    roman_map, _, _ = mapping.run(str(params), "r0")
+    ts = np.asarray(roman_map.times)
+    assert ts.min() >= 0.5 - 1e-6
+    assert ts.max() <= 1.25 + 1e-6
+    assert 2 <= len(ts) <= 4

@@ -237,3 +237,85 @@ def test_pgo_three_robots_rejects_outliers():
     # 9 injected outliers across 3 robot pairs: most must be rejected
     assert diag["n_lc_pcm_rejected"] + diag["n_lc_gnc_rejected"] >= 7, diag
     assert after < 0.7, (after, diag)
+
+
+def make_three_robot_graph(rng, n=40, drift=0.01, n_lc_bc=10, n_false_ab=4):
+    """Three odometry chains in a shared world frame: consistent b<->c
+    LCs, ONLY false a<->b LCs (robot a has no real overlap) — the
+    multi-robot hardening scenario (a singleton false LC must not drag
+    robot a away from its odometry placement, and GNC must not reject
+    the good b-c clique while recovering)."""
+    I_odom = g2o_io.information_matrix(0.05, np.deg2rad(0.3))
+    I_lc = g2o_io.information_matrix(1.0, np.deg2rad(3.0))
+    gt = {}
+    vertices = {}
+    edges = []
+    offsets = {"a": np.array([200.0, 0.0]), "b": np.array([0.0, 0.0]),
+               "c": np.array([3.0, 1.0])}
+    for letter in "abc":
+        poses = []
+        for k in range(n):
+            ang = 2 * np.pi * k / n
+            pos = np.array([offsets[letter][0] + 15 * np.cos(ang),
+                            offsets[letter][1] + 15 * np.sin(ang), 0.0])
+            poses.append(yaw_T(ang + np.pi / 2, pos))
+        poses = np.stack(poses)
+        gt[letter] = poses
+        odom = [poses[0]]
+        for k in range(1, n):
+            rel = np.linalg.inv(poses[k - 1]) @ poses[k]
+            noise = yaw_T(rng.normal() * drift * 0.2, rng.normal(size=3) * drift)
+            odom.append(odom[-1] @ rel @ noise)
+        odom = np.stack(odom)
+        for k in range(n):
+            t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(odom[k])))
+            vertices[symbol(letter, k)] = np.concatenate([t, q])
+        for k in range(n - 1):
+            rel = np.linalg.inv(odom[k]) @ odom[k + 1]
+            t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(rel)))
+            edges.append(G2OEdge(symbol(letter, k), symbol(letter, k + 1),
+                                 np.concatenate([t, q]),
+                                 g2o_io.info_upper_from_matrix(I_odom)))
+    for k in rng.choice(n, size=n_lc_bc, replace=False):
+        T = np.linalg.inv(gt["b"][k]) @ gt["c"][k]
+        T = T @ yaw_T(rng.normal() * 0.01, rng.normal(size=3) * 0.05)
+        t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(T)))
+        edges.append(G2OEdge(symbol("b", int(k)), symbol("c", int(k)),
+                             np.concatenate([t, q]),
+                             g2o_io.info_upper_from_matrix(I_lc), lc_count=8))
+    for _ in range(n_false_ab):
+        i, j = rng.integers(0, n, 2)
+        T = yaw_T(rng.uniform(-np.pi, np.pi), rng.uniform(-40, 40, 3))
+        t, q = (np.asarray(x) for x in se3.T_to_xyz_quat(jnp.asarray(T)))
+        edges.append(G2OEdge(symbol("a", int(i)), symbol("b", int(j)),
+                             np.concatenate([t, q]),
+                             g2o_io.info_upper_from_matrix(I_lc), lc_count=8))
+    return G2OGraph(vertices=vertices, edges=edges), gt
+
+
+def test_three_robot_false_pair_recovery(rng):
+    """All a-b LCs are false; the solve must keep most of the b-c clique,
+    reject every a-b LC, and leave robot a near its file-initial
+    odometry placement (not dragged 100+ m by a surviving false LC)."""
+    graph, gt = make_three_robot_graph(np.random.default_rng(5))
+    out, diag = solve_pose_graph(graph, RPGOSolverParams())
+    assert diag["n_lc"] == 14
+    # every false a-b LC must die (PCM singleton or GNC)
+    rejected = diag["n_lc_pcm_rejected"] + diag["n_lc_gnc_rejected"]
+    assert rejected >= 4, diag
+    # most of the good b-c clique must survive
+    assert rejected <= 14 - 7, diag
+    # robot a stays near its global-frame odometry (file initials):
+    # a surviving false LC would displace it by tens of meters
+    for k in (0, 20, 39):
+        est = out.vertex_T(symbol("a", k))[:3, 3]
+        assert np.linalg.norm(est - gt["a"][k][:3, 3]) < 5.0
+    # and b/c got optimized together: their relative placement is tight
+    errs = []
+    for k in range(40):
+        Tb = out.vertex_T(symbol("b", k))
+        Tc = out.vertex_T(symbol("c", k))
+        T_rel_gt = np.linalg.inv(gt["b"][k]) @ gt["c"][k]
+        T_rel = np.linalg.inv(Tb) @ Tc
+        errs.append(np.linalg.norm(T_rel[:3, 3] - T_rel_gt[:3, 3]))
+    assert np.median(errs) < 1.0, np.median(errs)
