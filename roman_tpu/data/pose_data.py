@@ -70,7 +70,21 @@ class PoseData:
         with open(path) as f:
             first = f.readline()
         delim = "," if "," in first else None
-        data = np.loadtxt(path, delimiter=delim, comments="#")
+        skip = 0
+        names = csv_options.get("cols")
+        if names:
+            # header-name columns (robotdatapy 'cols' schema, reference
+            # params/kimera_multi_data/gt_pose.yaml); falls back to
+            # col_nums when the named columns aren't in the header
+            header = [h.strip() for h in first.strip().split("," if delim else None)]
+            idx = {h: i for i, h in enumerate(header)}
+            if all(c in idx for c in names.get("time", [])):
+                tcol = idx[names["time"][0]]
+                pcols = [idx[c] for c in names["position"]]
+                qcols = [idx[c] for c in names["orientation"]]
+                skip = 1
+        data = np.loadtxt(path, delimiter=delim, comments=None if skip else "#",
+                          skiprows=skip)
         t = data[:, tcol] * ts
         T = se3_np.xyz_quat_to_T(data[:, pcols], data[:, qcols])
         return cls(times=t, poses=T, **kw)

@@ -132,3 +132,25 @@ def interp_T(T0: np.ndarray, T1: np.ndarray, alpha: np.ndarray) -> np.ndarray:
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
     t = (1 - a[:, None]) * T0[:, :3, 3] + a[:, None] * T1[:, :3, 3]
     return make_T(Rot.from_quat(q).as_matrix(), t)
+
+
+def arun_np(pts1: np.ndarray, pts2: np.ndarray,
+            weights: np.ndarray | None = None) -> np.ndarray:
+    """Weighted Arun/Umeyama SVD alignment (host numpy): the 4x4 T with
+    pts1 ~= R @ pts2 + t, reflection-corrected. Reference semantics:
+    object_registration.py:88-129."""
+    pts1 = np.asarray(pts1, float).reshape(-1, 3)
+    pts2 = np.asarray(pts2, float).reshape(-1, 3)
+    w = (np.ones(len(pts1)) if weights is None
+         else np.asarray(weights, float).reshape(-1))
+    wsum = max(w.sum(), 1e-12)
+    m1 = (pts1 * w[:, None]).sum(0) / wsum
+    m2 = (pts2 * w[:, None]).sum(0) / wsum
+    H = (pts1 - m1).T @ ((pts2 - m2) * w[:, None])
+    U, _, Vh = np.linalg.svd(H)
+    R = U @ Vh
+    if np.linalg.det(R) < 0:
+        Vh = Vh.copy()
+        Vh[-1, :] *= -1.0
+        R = U @ Vh
+    return make_T(R, m1 - R @ m2)

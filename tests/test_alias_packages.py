@@ -42,3 +42,93 @@ def test_offline_rpgo_package_aliases():
                g2o_and_time_to_pose_data, create_config, plot_g2o):
         assert callable(fn)
     assert LoopClosure is not None
+
+
+def test_map_layer_aliases():
+    import numpy as np
+
+    from roman_tpu.map.fastsam_wrapper import FastSAMWrapper
+    from roman_tpu.map.global_nearest_neighbor import global_nearest_neighbor
+    from roman_tpu.map.voxel_grid import VoxelGrid
+    from roman_tpu.perception.wrapper import PerceptionFrontend
+
+    assert issubclass(FastSAMWrapper, PerceptionFrontend)
+    assert hasattr(FastSAMWrapper, "from_params")
+
+    scores = np.array([[0.9, 0.0], [0.0, 0.8], [0.0, 0.0]])
+    sel = dict(global_nearest_neighbor(scores))
+    assert sel[0] == 0 and sel[1] == 1 and 2 not in sel
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1, (200, 3))
+    g1 = VoxelGrid.from_points(pts, 0.2)
+    g2 = VoxelGrid.from_points(pts + 0.05, 0.2)
+    assert 0.3 < g1.iou(g2) <= 1.0
+    assert g1.iou(g1) == 1.0 and g1.iom(g2) >= g1.iou(g2)
+
+
+def test_align_layer_aliases():
+    import numpy as np
+
+    from roman_tpu.align.dist_reg_with_pruning import (DistRegWithPruning,
+                                                       GravityConstraintError)
+    from roman_tpu.align.object_registration import (
+        InsufficientAssociationsException, ObjectRegistration)
+    from roman_tpu.align.ransac_reg import RansacReg
+    from roman_tpu.align.roman_registration import (FusionMethod, ROMANParams,
+                                                    ROMANRegistration)
+    from roman_tpu.align.submap import Submap, submaps_from_roman_map  # noqa
+    from roman_tpu.align.submap_viz import (generate_bright_color_palette,
+                                            random_bright_color, submap_viz)
+    from roman_tpu.map.roman_map import SegmentData
+
+    assert GravityConstraintError is not None and callable(submap_viz)
+    pal = generate_bright_color_palette(5)
+    assert len(pal) == 5 and all(len(c) == 3 for c in pal)
+    assert len(random_bright_color(pal)) == 3
+
+    # two identical 6-object maps, second one shifted by a rigid transform
+    rng = np.random.default_rng(3)
+    centers = rng.uniform(-5, 5, (6, 3))
+    th = 0.6
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    t = np.array([2.0, -1.0, 0.5])
+    descs = np.eye(6, 8)
+
+    def seg(i, c, d):
+        return SegmentData(id=i, center=c, volume=1.0 + 0.1 * i,
+                           linearity=0.5, planarity=0.3, scattering=0.2,
+                           extent=np.array([1.0, 0.5, 0.2]),
+                           semantic_descriptor=d)
+
+    map1 = [seg(i, centers[i], descs[i]) for i in range(6)]
+    map2 = [seg(i + 10, R.T @ (centers[i] - t), descs[i]) for i in range(6)]
+
+    reg = ROMANRegistration(ROMANParams(gravity=True, volume=True, pca=True,
+                                        semantics_dim=8))
+    assert reg.params.fusion_method is FusionMethod.GEOMETRIC_MEAN
+    A = reg.register(map1, map2)
+    assert A.shape[1] == 2 and len(A) >= 4
+    assert all(i == j for i, j in A)  # identity association recovered
+    T = reg.T_align(map1, map2, A)
+    assert np.allclose(T[:3, :3], R, atol=1e-5)
+    assert np.allclose(T[:3, 3], t, atol=1e-4)
+
+    M, C, A_all = reg.get_MCA(map1, map2)
+    assert M.shape == (36, 36) and C.shape == (36, 36) and A_all.shape == (36, 2)
+    sols = reg.mno_clipper(map1, map2, num_solutions=2)
+    assert len(sols) == 2 and sols[0][0].shape[1] == 2
+
+    with np.testing.assert_raises(InsufficientAssociationsException):
+        ObjectRegistration().T_align([], map2)
+
+    prune = DistRegWithPruning(cos_min=0.5, epsilon_shape=0.5)
+    Ap = prune.register(map1, map2)
+    assert len(Ap) >= 4 and all(i == j for i, j in Ap)
+    Tp = prune.T_align(map1, map2, Ap)
+    assert np.allclose(Tp[:3, 3], t, atol=1e-4)
+
+    rr = RansacReg(num_iterations=512)
+    Ar = rr.register(map1, map2)
+    assert Ar.shape[1] == 2 and len(Ar) >= 3

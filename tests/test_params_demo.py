@@ -138,3 +138,51 @@ def test_bag_depth_data_block(demo_data, monkeypatch):
     dt_, darr = rosbag.read_images(os.path.expanduser(_exp(dspec["path"])),
                                    _exp(dspec["topic"]))
     assert darr.dtype == np.uint16 and darr.shape == (4, 24, 32)
+
+
+def test_sibling_param_families_load():
+    """demo_aligned_depth / demo_no_gpu / kimera_multi_data mirror the
+    reference's param directories (same files, same deltas vs demo)."""
+    import yaml
+
+    from roman_tpu.params.data_params import DataParams
+    from roman_tpu.params.fastsam_params import FastSAMParams
+    from roman_tpu.params.submap_align_params import SubmapAlignParams
+
+    d = DataParams.from_yaml("params/demo_aligned_depth/data.yaml", "sparkal1")
+    assert "aligned_depth_to_color" in d.depth_data_params["topic"]
+    f = FastSAMParams.from_yaml("params/demo_no_gpu/fastsam.yaml")
+    assert f.semantics in (None, "none") and f.frame_descriptor is None
+    s = SubmapAlignParams.from_yaml("params/demo_no_gpu/submap_align.yaml")
+    assert s.method in ("roman_no_semantics", "pcavolgrav")
+    k = DataParams.from_yaml("params/kimera_multi_data/data.yaml", "thoth")
+    assert len(k.runs) == 6 and k.run_env == "ROBOT"
+    with open("params/kimera_multi_data/gt_pose.yaml") as fh:
+        spec = yaml.safe_load(fh)
+    assert spec["csv_options"]["cols"]["time"] == ["#timestamp_kf"]
+
+
+def test_gt_pose_header_name_cols(tmp_path, monkeypatch):
+    """csv_options 'cols' schema: columns resolved by header name
+    (kimera_multi_data/gt_pose.yaml), deliberately permuted vs col_nums."""
+    import yaml
+
+    from roman_tpu.data.pose_data import PoseData
+
+    path = tmp_path / "thoth.csv"
+    # 'junk' column shifts everything right, so a col_nums fallback would
+    # read wrong values — passes only via header-name resolution
+    rows = [[t * 1e9, 99.0, 7.0, 2.0 * k, 0.0, 1.0, 0.0, 0.0, 0.0]
+            for k, t in enumerate(1000.0 + np.arange(4))]
+    with open(path, "w") as fh:
+        fh.write("#timestamp_kf,junk,x,y,z,qw,qx,qy,qz\n")
+        for r in rows:
+            fh.write(",".join(f"{v:.9f}" for v in r) + "\n")
+    monkeypatch.setenv("KMD_GT_PATH", str(tmp_path))
+    monkeypatch.setenv("ROBOT", "thoth")
+    with open("params/kimera_multi_data/gt_pose.yaml") as fh:
+        spec = yaml.safe_load(fh)
+    pd = PoseData.from_yaml_spec(spec)
+    assert len(pd.times) == 4 and 999.0 < pd.times[0] < 1001.0
+    np.testing.assert_allclose(pd.positions()[:, 1], [0, 2, 4, 6], atol=1e-6)
+    np.testing.assert_allclose(pd.poses[0][:3, :3], np.eye(3), atol=1e-12)
