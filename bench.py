@@ -476,6 +476,14 @@ def main():
     ap.add_argument("--robots", type=int, default=2,
                     help="robots in the sim world; >2 additionally runs "
                          "the all-robot-pairs sweep in one dispatch")
+    ap.add_argument("--solver-iters", type=int, nargs=3, default=None,
+                    metavar=("WARMUP", "OUTER", "INNER"),
+                    help="override the engine's ClipperSolveParams "
+                         "iteration budget (the serial baseline keeps the "
+                         "reference-grade fixed budget, so quality fields "
+                         "measure the reduced budget's cost)")
+    ap.add_argument("--pairs-per-step", type=int, default=None,
+                    help="override pallas_pairs_per_step (K)")
     args = ap.parse_args()
 
     if args.profile:
@@ -493,6 +501,17 @@ def main():
 
     submaps, feats, auxs, cfg, runs = build_workload(
         desc_dim=args.desc_dim, n_robots=args.robots)
+    if args.solver_iters or args.pairs_per_step:
+        import dataclasses as _dc
+
+        from roman_tpu.align.clipper import ClipperSolveParams
+
+        if args.solver_iters:
+            w, o, i = args.solver_iters
+            cfg = _dc.replace(cfg, solver=ClipperSolveParams(
+                warmup_iters=w, outer_iters=o, inner_iters=i))
+        if args.pairs_per_step:
+            cfg = _dc.replace(cfg, pallas_pairs_per_step=args.pairs_per_step)
     P, xla_pps, res_xla, pair_i, pair_j = run_tpu(
         feats[:2], auxs[:2], cfg, chunk_size=args.chunk, repeats=args.repeats)
 
@@ -535,6 +554,10 @@ def main():
     }
     if pallas_pps is not None:
         record["pallas_pairs_per_sec"] = round(pallas_pps, 2)
+    if args.solver_iters:
+        record["solver_iters"] = args.solver_iters
+    if args.pairs_per_step:
+        record["pairs_per_step"] = args.pairs_per_step
     if args.robots > 2:
         import dataclasses as _dc
 

@@ -44,9 +44,14 @@ _EPS = 1e-9
 
 @struct.dataclass
 class ClipperSolveParams:
-    warmup_iters: int = struct.field(pytree_node=False, default=10)
-    outer_iters: int = struct.field(pytree_node=False, default=12)
-    inner_iters: int = struct.field(pytree_node=False, default=10)
+    # iteration budget: v5e sweep over (warmup, outer, inner) with the
+    # serial full-budget baseline as quality referee — (10,12,10) 1718,
+    # (10,8,8) 1995, (8,6,6) 2180, (6,4,4) 2002 pairs/s, association-set
+    # Jaccard / LC-decision agreement / subset P-R identical at every
+    # budget, so the default keeps one notch of margin above the knee
+    warmup_iters: int = struct.field(pytree_node=False, default=8)
+    outer_iters: int = struct.field(pytree_node=False, default=6)
+    inner_iters: int = struct.field(pytree_node=False, default=6)
     rounding_max: int = struct.field(pytree_node=False, default=64)
     active_eps: float = 1e-6
 
