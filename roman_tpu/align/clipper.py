@@ -52,7 +52,6 @@ class ClipperSolveParams:
     warmup_iters: int = struct.field(pytree_node=False, default=8)
     outer_iters: int = struct.field(pytree_node=False, default=6)
     inner_iters: int = struct.field(pytree_node=False, default=6)
-    rounding_max: int = struct.field(pytree_node=False, default=64)
     active_eps: float = 1e-6
 
 
