@@ -136,10 +136,11 @@ def run_multirobot(feats, auxs, cfg, chunk_size=32, repeats=2):
 
     registrar = PairGridRegistrar(cfg, chunk_size=chunk_size)
     registrar(pool, pool, ids, ids, pair_i, pair_j)  # warmup/compile
-    t0 = time.perf_counter()
+    dt = np.inf  # best-of: tunnel/queueing noise only ever adds time
     for _ in range(repeats):
+        t0 = time.perf_counter()
         registrar(pool, pool, ids, ids, pair_i, pair_j)
-    dt = (time.perf_counter() - t0) / repeats
+        dt = min(dt, time.perf_counter() - t0)
     return len(pair_i), len(pair_i) / dt
 
 
@@ -159,11 +160,12 @@ def run_tpu(feats, auxs, cfg, chunk_size=32, repeats=2):
     # real compile inside the timed loop
     registrar(feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"],
               pair_i, pair_j)
-    t0 = time.perf_counter()
+    dt = np.inf  # best-of: tunnel/queueing noise only ever adds time
     for _ in range(repeats):
+        t0 = time.perf_counter()
         res = registrar(feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"],
                         pair_i, pair_j)
-    dt = (time.perf_counter() - t0) / repeats
+        dt = min(dt, time.perf_counter() - t0)
     return P, P / dt, res, pair_i, pair_j
 
 
@@ -447,17 +449,18 @@ def run_perception_bench(batch=8, height=480, width=640, repeats=3):
     imgs = rng.uniform(size=(batch, height, width, 3)).astype(np.float32)
     depths = rng.uniform(1.0, 6.0, size=(batch, height, width)).astype(np.float32)
     fe.run_batch(imgs, depths)  # warmup/compile
-    t0 = time.perf_counter()
+    dt = np.inf  # best-of: tunnel/queueing noise only ever adds time
     for _ in range(repeats):
+        t0 = time.perf_counter()
         fe.run_batch(imgs, depths)
-    dt = (time.perf_counter() - t0) / repeats
+        dt = min(dt, time.perf_counter() - t0)
     return batch / dt
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=32)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--desc-dim", type=int, default=768)
     ap.add_argument("--baseline-samples", type=int, default=8)
     ap.add_argument("--quality-pairs", type=int, default=100,
