@@ -23,9 +23,17 @@ class FastSAMWrapper(PerceptionFrontend):
         """Reference factory (fastsam_wrapper.py:98-134)."""
         return cls(params, camera, **kw)
 
-    def run(self, t, pose, img, depth):
-        """Single-frame adapter: returns the frame's observations as
-        (points, valid, descriptors, mask) arrays from run_batch. For
-        throughput use run_batch directly — one dispatch per batch."""
-        out = self.run_batch(np.asarray(img)[None], np.asarray(depth)[None])
-        return out
+    def run(self, t, pose, img, depth_data=None):
+        """Single-frame adapter with the reference's return contract
+        (fastsam_wrapper.py:254-265): (list of Observations,
+        frame_descriptor or None). For throughput use run_batch directly —
+        one dispatch per batch."""
+        img = np.asarray(img)
+        depth = (np.asarray(depth_data) if depth_data is not None
+                 else np.zeros(img.shape[:2], np.float32))
+        out = self.run_batch(img[None], depth[None])
+        obs = self.observations(out, [t], [np.asarray(pose)])[0]
+        fdesc = (np.asarray(out.frame_descriptors[0])
+                 if out.frame_descriptors is not None
+                 and np.size(out.frame_descriptors) else None)
+        return obs, fdesc

@@ -132,3 +132,37 @@ def test_align_layer_aliases():
     rr = RansacReg(num_iterations=512)
     Ar = rr.register(map1, map2)
     assert Ar.shape[1] == 2 and len(Ar) >= 3
+
+
+def test_fastsam_wrapper_run_contract():
+    """FastSAMWrapper.run returns (list of Observations, frame_descriptor)
+    — the reference contract (fastsam_wrapper.py:254-265)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from roman_tpu.data.camera import CameraParams
+    from roman_tpu.map.fastsam_wrapper import FastSAMWrapper
+    from roman_tpu.map.observation import Observation
+    from roman_tpu.params.fastsam_params import FastSAMParams
+    from roman_tpu.perception import fastsam
+    from roman_tpu.perception.dinov2 import DINOV2_SMALL
+
+    cam = CameraParams.simple(width=128, height=96, f=100.0)
+    vit = dataclasses.replace(DINOV2_SMALL, width=64, depth=2, heads=4,
+                              img_size=84, dtype=jnp.float32)
+    params = FastSAMParams(imgsz=(96, 128), max_masks_per_frame=8,
+                           max_points_per_mask=64, max_depth=7.5,
+                           erosion_size=0, ignore_people=False, conf=0.0)
+    fe = FastSAMWrapper.from_params(params, cam, seg_cfg=fastsam.TINY_TEST,
+                                    vit_cfg=vit)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(96, 128, 3)).astype(np.float32)
+    depth = np.full((96, 128), 3.0, np.float32)
+    obs, fdesc = fe.run(1.5, np.eye(4), img, depth)
+    assert isinstance(obs, list)
+    assert all(isinstance(o, Observation) for o in obs)
+    for o in obs:
+        assert o.time == 1.5 and o.point_cloud.shape[-1] == 3
+    assert fdesc is None or np.asarray(fdesc).ndim == 1
