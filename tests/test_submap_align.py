@@ -121,3 +121,40 @@ def test_force_fill_partition(sim_setup):
     ids0 = {s.id for s in submaps[0].segments}
     ids1 = {s.id for s in submaps[1].segments}
     assert ids0 & ids1
+
+def test_skip_distance_zero_and_no_gt(sim_setup):
+    """Edge probes: skip_distance=0 hard-gates every pair (empty g2o,
+    reference submap_align.py:136-142), and input_gt_pose_yaml=[None,None]
+    exercises the est-pose gating / reduced outputs path."""
+    tmp, runs, maps, gt_files = sim_setup
+    sm_params = SubmapAlignParams(
+        method="roman", semantics_dim=32, submap_max_size=30,
+        cosine_min=0.5, cosine_max=0.9,
+    )
+    out0 = str(tmp / "out_skip0")
+    sm_io = SubmapAlignInputOutput(
+        inputs=[str(tmp / "robot0.pkl"), str(tmp / "robot1.pkl")],
+        output_dir=out0, run_name="align",
+        input_gt_pose_yaml=gt_files,
+        robot_names=["robot0", "robot1"],
+        skip_distance=0.0,
+    )
+    results = submap_align(sm_params, sm_io, chunk_size=32)
+    assert (results.clipper_num_associations
+            >= sm_io.lc_association_thresh).sum() == 0
+    with open(sm_io.output_g2o) as f:
+        assert not [ln for ln in f.read().splitlines()
+                    if ln.startswith("EDGE_SE3:QUAT")]
+
+    out_nogt = str(tmp / "out_nogt")
+    sm_io2 = SubmapAlignInputOutput(
+        inputs=[str(tmp / "robot0.pkl"), str(tmp / "robot1.pkl")],
+        output_dir=out_nogt, run_name="align",
+        input_gt_pose_yaml=[None, None],
+        robot_names=["robot0", "robot1"],
+    )
+    results2 = submap_align(sm_params, sm_io2, chunk_size=32)
+    accepted = results2.clipper_num_associations >= sm_io2.lc_association_thresh
+    assert accepted.sum() > 0  # est-pose gating still finds the overlap
+    assert os.path.exists(sm_io2.output_g2o)
+    assert os.path.exists(sm_io2.output_img)
