@@ -106,10 +106,19 @@ class ObjectRegistration:
         return (segments_to_features(map1, self.cfg),
                 segments_to_features(map2, self.cfg))
 
+    @staticmethod
+    def _size(m) -> int:
+        """Object count of a list or an (unbatched) SubmapFeatures."""
+        from roman_tpu.align.invariants import SubmapFeatures
+
+        if isinstance(m, SubmapFeatures):
+            return int(np.asarray(m.valid).sum())
+        return len(m)
+
     def register(self, map1: List, map2: List) -> np.ndarray:
         """Solve the pair, return the (k, 2) selected association index
         array — the reference's return contract (:22-29)."""
-        if len(map1) == 0 or len(map2) == 0:
+        if self._size(map1) == 0 or self._size(map2) == 0:
             return np.array([[]])
         f1, f2 = self._features(map1, map2)
         res = register_clipper(f1, f2, self.cfg)
@@ -119,16 +128,25 @@ class ObjectRegistration:
     def T_align(self, map1: List, map2: List,
                 correspondences: Optional[np.ndarray] = None) -> np.ndarray:
         """4x4 aligning map2 -> map1 via weighted Arun SVD (:88-129)."""
-        if len(map1) == 0 or len(map2) == 0:
-            raise InsufficientAssociationsException(len(map1), len(map2))
+        from roman_tpu.align.invariants import SubmapFeatures
+
+        n1, n2 = self._size(map1), self._size(map2)
+        if n1 == 0 or n2 == 0:
+            raise InsufficientAssociationsException(n1, n2)
         if correspondences is None:
             correspondences = self.register(map1, map2)
         correspondences = np.asarray(correspondences).reshape(-1, 2)
         if len(correspondences) < self.dim:
             raise InsufficientAssociationsException(
-                len(map1), len(map2), len(correspondences))
-        pts1 = np.stack([_center_of(map1[i]) for i, _ in correspondences])
-        pts2 = np.stack([_center_of(map2[j]) for _, j in correspondences])
+                n1, n2, len(correspondences))
+
+        def centers(m, idx):
+            if isinstance(m, SubmapFeatures):
+                return np.asarray(m.centers)[idx]
+            return np.stack([_center_of(m[k]) for k in idx])
+
+        pts1 = centers(map1, correspondences[:, 0])
+        pts2 = centers(map2, correspondences[:, 1])
         return arun_np(pts1, pts2)
 
     def get_MCA(self, map1: List, map2: List):
@@ -137,7 +155,7 @@ class ObjectRegistration:
         reference shapes."""
         f1, f2 = self._features(map1, map2)
         M, C, A = _get_MCA_fn(f1, f2, self.cfg)
-        n, m = len(map1), len(map2)
+        n, m = self._size(map1), self._size(map2)
         keep = np.array([a * f2.capacity + b for a in range(n) for b in range(m)])
         M = np.asarray(M)[np.ix_(keep, keep)]
         C = np.asarray(C)[np.ix_(keep, keep)]

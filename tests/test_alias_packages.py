@@ -166,3 +166,27 @@ def test_fastsam_wrapper_run_contract():
     for o in obs:
         assert o.time == 1.5 and o.point_cloud.shape[-1] == 3
     assert fdesc is None or np.asarray(fdesc).ndim == 1
+
+
+def test_object_registration_accepts_features():
+    """The per-pair class surface also takes repo-native SubmapFeatures
+    (skipping the packing step)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from roman_tpu.align.object_registration import ObjectRegistration
+    from roman_tpu.align.registration import RegistrationConfig, build_features
+
+    rng = np.random.default_rng(5)
+    centers = rng.uniform(-5, 5, (8, 3)).astype(np.float32)
+    cfg = RegistrationConfig(method="clipper")
+    f1 = build_features(jnp.asarray(centers), jnp.ones(8, bool), cfg)
+    shift = np.array([1.0, -2.0, 0.0], np.float32)
+    f2 = build_features(jnp.asarray(centers + shift), jnp.ones(8, bool), cfg)
+
+    reg = ObjectRegistration(cfg)
+    A = reg.register(f1, f2)
+    assert len(A) >= 4 and all(i == j for i, j in A)
+    T = reg.T_align(f1, f2, A)
+    assert np.allclose(T[:3, 3], -shift, atol=1e-4)
+    assert np.allclose(T[:3, :3], np.eye(3), atol=1e-5)
