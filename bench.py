@@ -331,9 +331,14 @@ def run_quality_comparison(feats, auxs, runs, cfg, res, pair_i, pair_j,
     near_idx = np.nonzero(d_gt < 30.0)[0]
     far_idx = np.nonzero(d_gt >= 30.0)[0]
     rng = np.random.default_rng(seed)
+    if len(near_idx) > n_quality:
+        # uniform sample (grid order would bias toward early submaps)
+        print(f"# quality subset: sampling {n_quality} of {len(near_idx)} "
+              "GT-nearby pairs", flush=True)
+        near_idx = np.sort(rng.choice(near_idx, size=n_quality, replace=False))
     n_fill = max(n_quality - len(near_idx), 0)
     fill = rng.choice(far_idx, size=min(n_fill, len(far_idx)), replace=False)
-    subset = np.concatenate([near_idx[:n_quality], fill]).astype(int)
+    subset = np.concatenate([near_idx, fill]).astype(int)
 
     sel_eng = np.asarray(res.sel)
     cnt_eng = np.asarray(res.count)

@@ -78,7 +78,13 @@ class PoseData:
             # col_nums when the named columns aren't in the header
             header = [h.strip() for h in first.strip().split("," if delim else None)]
             idx = {h: i for i, h in enumerate(header)}
-            if all(c in idx for c in names.get("time", [])):
+            wanted = (list(names.get("time", [])) + list(names.get("position", []))
+                      + list(names.get("orientation", [])))
+            # use names only when every referenced column exists in the
+            # header (and all three groups are named) — else col_nums
+            if (names.get("time") and names.get("position")
+                    and names.get("orientation")
+                    and all(c in idx for c in wanted)):
                 tcol = idx[names["time"][0]]
                 pcols = [idx[c] for c in names["position"]]
                 qcols = [idx[c] for c in names["orientation"]]

@@ -31,6 +31,7 @@ users converting other sources to bags.
 from __future__ import annotations
 
 import bz2
+import collections
 import os
 import struct
 from typing import Dict, Iterator, List, Optional, Tuple
@@ -524,50 +525,74 @@ def xyz_to_pointcloud2(xyz: np.ndarray, stamp: float = 0.0,
 # ---------------------------------------------------------------------------
 
 class BagReader:
-    """Sequential-scan bag reader (no index needed; chunks decompressed
-    on the fly). ``topics`` maps topic -> (msgtype, message count)."""
+    """Indexed bag reader: one scan builds a per-message (time, conn,
+    chunk, offset) index; message payloads live in the memory-mapped
+    file and chunks are decompressed on demand (small LRU), so peak RAM
+    is ~one decompressed chunk instead of the whole decompressed bag —
+    multi-GB recorded bags (params/kimera_multi_data) stream instead of
+    slurping. ``topics`` maps topic -> (msgtype, message count)."""
+
+    _CHUNK_CACHE = 4  # decompressed chunks kept (bag chunks are ~1 MB)
 
     def __init__(self, path: str):
-        self.path = os.path.expanduser(path)
-        with open(self.path, "rb") as f:
-            buf = f.read()
-        if not buf.startswith(MAGIC):
-            raise ValueError(f"{path}: not a ROS1 v2.0 bag "
-                             f"(magic {buf[:13]!r})")
-        self._connections: Dict[int, dict] = {}
-        # (t, topic, msgtype, raw) kept in file order; bags are written in
-        # roughly time order per chunk, sort on access
-        self._messages: List[Tuple[float, int, bytes]] = []
-        self._scan(buf)
+        import mmap
 
-    def _scan(self, buf: bytes):
+        self.path = os.path.expanduser(path)
+        self._file = open(self.path, "rb")
+        try:
+            self._buf = mmap.mmap(self._file.fileno(), 0,
+                                  access=mmap.ACCESS_READ)
+        except ValueError:  # zero-length file
+            self._buf = b""
+        if not self._buf[:len(MAGIC)] == MAGIC:
+            raise ValueError(f"{path}: not a ROS1 v2.0 bag "
+                             f"(magic {bytes(self._buf[:13])!r})")
+        self._connections: Dict[int, dict] = {}
+        # chunk table: (compression, data_start, data_end) file ranges
+        self._chunks: List[Tuple[str, int, int]] = []
+        # message index: (t, conn, chunk_id, offset). chunk_id -1 =
+        # top-level record; offset is then the absolute record position
+        self._index: List[Tuple[float, int, int, int]] = []
+        self._chunk_lru: "collections.OrderedDict[int, bytes]" = (
+            collections.OrderedDict())
+        self._scan()
+
+    def _decompress(self, comp: str, data: bytes) -> bytes:
+        if comp == "none":
+            return data
+        if comp == "bz2":
+            return bz2.decompress(data)
+        if comp == "lz4":
+            # roslz4 writes standard LZ4 frames; decoded by the
+            # pure-python codec (no lz4 wheel needed)
+            from roman_tpu.data import lz4
+
+            return lz4.decompress_frame(data)
+        raise ValueError(f"unknown chunk compression {comp!r}")
+
+    def _scan(self):
+        buf = self._buf
         pos = len(MAGIC)
         end = len(buf)
         while pos < end:
+            rec_pos = pos
             header, data, pos = _read_record(buf, pos)
             op = header.get(b"op", b"\x00")[0]
             if op == _OP_CHUNK:
                 comp = header.get(b"compression", b"none").decode()
-                if comp == "none":
-                    inner = data
-                elif comp == "bz2":
-                    inner = bz2.decompress(data)
-                elif comp == "lz4":
-                    # roslz4 writes standard LZ4 frames; decoded by the
-                    # pure-python codec (no lz4 wheel needed)
-                    from roman_tpu.data import lz4
-
-                    inner = lz4.decompress_frame(data)
-                else:
-                    raise ValueError(f"unknown chunk compression {comp!r}")
+                cid = len(self._chunks)
+                self._chunks.append((comp, pos - len(data), pos))
+                inner = self._decompress(comp, data)
                 ipos = 0
                 while ipos < len(inner):
+                    inner_pos = ipos
                     ih, idata, ipos = _read_record(inner, ipos)
-                    self._record(ih, idata)
+                    self._record(ih, idata, cid, inner_pos)
             else:
-                self._record(header, data)
+                self._record(header, data, -1, rec_pos)
 
-    def _record(self, header: Dict[bytes, bytes], data: bytes):
+    def _record(self, header: Dict[bytes, bytes], data: bytes,
+                chunk_id: int, offset: int):
         op = header.get(b"op", b"\x00")[0]
         if op == _OP_CONNECTION:
             conn = struct.unpack("<I", header[b"conn"])[0]
@@ -580,12 +605,28 @@ class BagReader:
         elif op == _OP_MSG:
             conn = struct.unpack("<I", header[b"conn"])[0]
             t = _u64_to_time(header[b"time"])
-            self._messages.append((t, conn, data))
+            self._index.append((t, conn, chunk_id, offset))
+
+    def _chunk_bytes(self, cid: int) -> bytes:
+        if cid in self._chunk_lru:
+            self._chunk_lru.move_to_end(cid)
+            return self._chunk_lru[cid]
+        comp, start, end = self._chunks[cid]
+        inner = self._decompress(comp, self._buf[start:end])
+        self._chunk_lru[cid] = inner
+        while len(self._chunk_lru) > self._CHUNK_CACHE:
+            self._chunk_lru.popitem(last=False)
+        return inner
+
+    def _payload(self, chunk_id: int, offset: int) -> bytes:
+        buf = self._buf if chunk_id < 0 else self._chunk_bytes(chunk_id)
+        _, data, _ = _read_record(buf, offset)
+        return data
 
     @property
     def topics(self) -> Dict[str, Tuple[str, int]]:
         counts: Dict[int, int] = {}
-        for _, conn, _ in self._messages:
+        for _, conn, _, _ in self._index:
             counts[conn] = counts.get(conn, 0) + 1
         return {c["topic"]: (c["type"], counts.get(cid, 0))
                 for cid, c in self._connections.items()}
@@ -597,10 +638,11 @@ class BagReader:
         if isinstance(topics, str):
             topics = [topics]
         want = None if topics is None else set(topics)
-        for t, conn, data in sorted(self._messages, key=lambda m: m[0]):
+        for t, conn, cid, off in sorted(self._index, key=lambda m: m[0]):
             info = self._connections.get(conn)
             if info is None or (want is not None and info["topic"] not in want):
                 continue
+            data = self._payload(cid, off)
             msg = data if raw else deserialize(info["type"], data)
             yield info["topic"], msg, t
 
@@ -761,14 +803,35 @@ class BagWriter:
 # high-level extraction (the surfaces data_params/demo consume)
 # ---------------------------------------------------------------------------
 
+_READER_CACHE: "collections.OrderedDict[tuple, object]" = collections.OrderedDict()
+_READER_CACHE_SIZE = 2
+
+
 def open_reader(path: str):
     """BagReader (ROS1 .bag) or Bag2Reader (rosbag2 dir / .db3), sniffed
-    from the path — the data layer is format-agnostic above this point."""
+    from the path — the data layer is format-agnostic above this point.
+
+    Parsed readers are cached by (realpath, mtime, size): loading a run
+    reads the same camera bag for color frames, the depth topic, and
+    camera_info back to back, and re-scanning the chunk index each time
+    tripled ingestion I/O."""
     from roman_tpu.data import rosbag2
 
-    if rosbag2.is_rosbag2(path):
-        return rosbag2.Bag2Reader(path)
-    return BagReader(path)
+    real = os.path.realpath(os.path.expanduser(path))
+    try:
+        st = os.stat(real)
+        key = (real, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (real, 0, 0)
+    if key in _READER_CACHE:
+        _READER_CACHE.move_to_end(key)
+        return _READER_CACHE[key]
+    reader = (rosbag2.Bag2Reader(path) if rosbag2.is_rosbag2(path)
+              else BagReader(path))
+    _READER_CACHE[key] = reader
+    while len(_READER_CACHE) > _READER_CACHE_SIZE:
+        _READER_CACHE.popitem(last=False)
+    return reader
 
 
 def _norm_type(msgtype: str) -> str:
@@ -809,9 +872,16 @@ def read_images(path: str, topic: str) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(times), np.stack(imgs)
 
 
-def read_poses(path: str, topic: str) -> Tuple[np.ndarray, np.ndarray]:
+def read_poses(path: str, topic: str,
+               parent_frame: Optional[str] = None,
+               child_frame: Optional[str] = None) -> Tuple[np.ndarray, np.ndarray]:
     """(times, (T, 4, 4) poses) from Odometry / PoseStamped /
-    PoseWithCovarianceStamped / TransformStamped / TFMessage topics."""
+    PoseWithCovarianceStamped / TransformStamped / TFMessage topics.
+
+    TF topics carry transforms for MANY (parent, child) frame pairs;
+    pass parent_frame/child_frame to select one. With neither given, the
+    most frequent pair is used (and a mix of pairs would otherwise
+    interleave unrelated trajectories)."""
     from roman_tpu.ops import se3_np
 
     reader = open_reader(path)
@@ -826,12 +896,37 @@ def read_poses(path: str, topic: str) -> Tuple[np.ndarray, np.ndarray]:
         xyz.append(np.asarray(p, np.float64))
         quat.append(np.asarray(q, np.float64))
 
-    for _, msg, t in reader.read_messages(topic):
-        if msgtype in ("tf2_msgs/TFMessage", "tf/tfMessage"):
+    if msgtype in ("tf2_msgs/TFMessage", "tf/tfMessage"):
+        per_pair: Dict[Tuple[str, str], list] = {}
+        for _, msg, t in reader.read_messages(topic):
             for tr in msg["transforms"]:
-                add(tr["header"].get("stamp", 0.0) or t,
-                    tr["transform"]["translation"], tr["transform"]["rotation"])
-            continue
+                pair = (tr["header"].get("frame_id", ""),
+                        tr.get("child_frame_id", ""))
+                per_pair.setdefault(pair, []).append(
+                    (tr["header"].get("stamp", 0.0) or t,
+                     tr["transform"]["translation"],
+                     tr["transform"]["rotation"]))
+        if not per_pair:
+            raise KeyError(f"no transforms on {topic!r}")
+        if parent_frame is not None or child_frame is not None:
+            matches = [p for p in per_pair
+                       if (parent_frame is None or p[0] == parent_frame)
+                       and (child_frame is None or p[1] == child_frame)]
+            if not matches:
+                raise KeyError(
+                    f"no ({parent_frame!r}, {child_frame!r}) transforms on "
+                    f"{topic!r} (have {sorted(per_pair)})")
+            chosen = matches[0]
+        else:
+            chosen = max(per_pair, key=lambda p: len(per_pair[p]))
+        for stamp, p, q in per_pair[chosen]:
+            add(stamp, p, q)
+        order = np.argsort(times)
+        T = se3_np.xyz_quat_to_T(np.asarray(xyz)[order],
+                                 np.asarray(quat)[order])
+        return np.asarray(times)[order], T
+
+    for _, msg, t in reader.read_messages(topic):
         stamp = msg.get("header", {}).get("stamp", 0.0) or t
         if msgtype == "geometry_msgs/TransformStamped":
             add(stamp, msg["transform"]["translation"],

@@ -258,6 +258,22 @@ class BatchMapper:
         return step
 
     # ------------------------------------------------------------------ #
+    def ensure_desc_dim(self, d: int):
+        """Widen the descriptor pool to d dims in place (zero-padding the
+        existing state) and drop the compiled steps. Covers streams whose
+        first frames carry no descriptors: the runner would otherwise
+        construct the mapper at a small placeholder width and update_batch
+        would silently truncate every later full-width descriptor."""
+        if d <= self.desc_dim:
+            return
+        desc = np.zeros(self.state.descriptors.shape[:-1] + (d,), np.float32)
+        desc[..., : self.desc_dim] = np.asarray(self.state.descriptors)
+        self.state = self.state.replace(descriptors=jnp.asarray(desc))
+        self.desc_dim = d
+        self._step_fn = self._build()
+        self._step = jax.jit(self._step_fn)
+        self._scan_steps = {}
+
     def _get_scan_step(self, sig):
         """One dispatch for a whole batch of frames: lax.scan of the
         per-frame step over the frame axis, with the camera->world point

@@ -78,6 +78,10 @@ class MapRunner:
             self.mapper = BatchMapper(
                 self.mapper_params, self.camera, desc_dim=desc_dim,
                 obs_capacity=self.fastsam_params.max_masks_per_frame)
+        else:
+            # widen if the first batches had no descriptors and the pool
+            # was created at the placeholder width
+            self.mapper.ensure_desc_dim(desc_dim)
         return self.mapper
 
     def run(self, get_frames: Callable[[np.ndarray], tuple],

@@ -499,12 +499,18 @@ def apply_label_filters(masks: jax.Array, valid: jax.Array,
     xs = jnp.arange(W, dtype=jnp.float32)[None, None, None, None, :]
 
     def frac_in_boxes(boxes):
-        # boxes (B, nb, 4) -> (B, K) max fraction of mask inside any box
+        # boxes (B, nb, 4) -> (B, K) max fraction of mask inside any box.
+        # Degenerate (zero-extent) rows are the padding convention for
+        # "no detection" — without the validity gate a (0,0,0,0) padding
+        # box contains pixel (0,0) and the any-overlap ignore threshold
+        # would drop every mask touching the image's top-left corner.
         x1 = boxes[..., 0][:, None, :, None, None]
         y1 = boxes[..., 1][:, None, :, None, None]
         x2 = boxes[..., 2][:, None, :, None, None]
         y2 = boxes[..., 3][:, None, :, None, None]
-        inbox = (xs >= x1) & (xs <= x2) & (ys >= y1) & (ys <= y2)  # (B,1,nb,H,W)
+        box_valid = (x2 > x1) & (y2 > y1)
+        inbox = ((xs >= x1) & (xs <= x2) & (ys >= y1) & (ys <= y2)
+                 & box_valid)  # (B,1,nb,H,W)
         inter = jnp.sum(masks[:, :, None].astype(jnp.float32) * inbox, axis=(-2, -1))
         area = jnp.maximum(jnp.sum(masks, axis=(-2, -1)), 1.0)[:, :, None]
         return jnp.max(inter / area, axis=-1)  # (B, K)

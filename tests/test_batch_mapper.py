@@ -118,3 +118,34 @@ def test_device_mapper_agrees_with_host(rng):
     # segment counts in the same ballpark
     assert abs(len(host_centers) - len(dev_centers)) <= max(
         3, 0.4 * len(host_centers))
+
+
+def test_ensure_desc_dim_widens_pool():
+    """Regression: a stream whose first batch has no descriptors created
+    the device mapper at the placeholder width, silently truncating all
+    later full-width descriptors."""
+    import numpy as np
+
+    from roman_tpu.data.camera import CameraParams
+    from roman_tpu.map.batch_mapper import BatchMapper
+    from roman_tpu.params.mapper_params import MapperParams
+
+    p = MapperParams(max_segments=16, max_points_per_segment=32,
+                     min_sightings=1, max_t_no_sightings=10.0)
+    bm = BatchMapper(p, CameraParams.simple(64, 48), desc_dim=8,
+                     obs_capacity=4)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1, (1, 4, 8, 3)).astype(np.float32)
+    val = np.ones((1, 4, 8), bool)
+    mask = np.ones((1, 4), bool)
+    bm.update_batch([0.0], np.eye(4)[None], pts, val,
+                    np.zeros((1, 4, 8), np.float32), mask)
+    bm.ensure_desc_dim(32)
+    assert bm.desc_dim == 32 and bm.state.descriptors.shape[-1] == 32
+    d32 = rng.normal(size=(1, 4, 32)).astype(np.float32)
+    d32 /= np.linalg.norm(d32, axis=-1, keepdims=True)
+    bm.update_batch([0.5], np.eye(4)[None], pts, val, d32, mask)
+    # the full-width descriptors landed un-truncated: some segment's
+    # stored descriptor has energy beyond the first 8 dims
+    desc = np.asarray(bm.state.descriptors)
+    assert np.abs(desc[..., 8:]).sum() > 0.0

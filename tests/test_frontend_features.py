@@ -132,3 +132,27 @@ def test_rotation_pipeline_runs(rng):
     obs = _fe(_base_params(rotate_img="CW")).observations(
         out, times=[0.0], poses=[np.eye(4)])
     assert isinstance(obs, list)
+
+
+def test_label_filter_ignores_padding_boxes():
+    """Regression: all-padding (0,0,0,0) ignore boxes contain pixel
+    (0,0) and, at the any-overlap threshold, dropped every mask touching
+    the top-left corner."""
+    from roman_tpu.perception.wrapper import apply_label_filters
+
+    masks = np.zeros((1, 2, 16, 16), bool)
+    masks[0, 0, 0:10, 0:10] = True   # touches (0, 0)
+    masks[0, 1, 4:8, 4:8] = True
+    valid = np.ones((1, 2), bool)
+    pad_boxes = np.zeros((1, 3, 4), np.float32)
+    ok = apply_label_filters(jnp.asarray(masks), jnp.asarray(valid),
+                             ignore_boxes=jnp.asarray(pad_boxes),
+                             ignore_frac=1e-9)
+    assert bool(ok[0, 0]) and bool(ok[0, 1])
+    # a real box still filters
+    real = np.array([[[0.0, 0.0, 12.0, 12.0], [0, 0, 0, 0],
+                      [0, 0, 0, 0]]], np.float32)
+    ok2 = apply_label_filters(jnp.asarray(masks), jnp.asarray(valid),
+                              ignore_boxes=jnp.asarray(real),
+                              ignore_frac=1e-9)
+    assert not bool(ok2[0, 0])

@@ -162,3 +162,23 @@ def test_auction_matches_hungarian(rng):
         ref_total = benefit[rows, cols].sum()
         got_total = sum(benefit[i, match[i]] for i in range(6) if match[i] >= 0)
         assert got_total >= ref_total - 0.05  # near-optimal within eps-scaling
+
+
+def test_voxel_iou_cross_far_sets_zero():
+    """Regression: the old SPAN-clipped dense packing gave spurious IOU
+    ~0.28 for point sets 50 m apart when both sat ~300 m from the grid
+    origin; hashed keys have no bounded span."""
+    import jax.numpy as jnp
+
+    from roman_tpu.ops.voxel import voxel_iou_cross
+
+    rng = np.random.default_rng(0)
+    p1 = rng.uniform(0, 2, (1, 64, 3)) + 300.0
+    p2 = p1[0][None] + 50.0
+    m = np.ones((1, 64), bool)
+    iou = voxel_iou_cross(jnp.asarray(p1), jnp.asarray(m),
+                          jnp.asarray(p2), jnp.asarray(m), 0.2)
+    assert float(iou[0, 0]) == 0.0
+    same = voxel_iou_cross(jnp.asarray(p1), jnp.asarray(m),
+                           jnp.asarray(p1), jnp.asarray(m), 0.2)
+    assert float(same[0, 0]) == 1.0

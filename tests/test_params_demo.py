@@ -186,3 +186,24 @@ def test_gt_pose_header_name_cols(tmp_path, monkeypatch):
     assert len(pd.times) == 4 and 999.0 < pd.times[0] < 1001.0
     np.testing.assert_allclose(pd.positions()[:, 1], [0, 2, 4, 6], atol=1e-6)
     np.testing.assert_allclose(pd.poses[0][:3, :3], np.eye(3), atol=1e-12)
+
+
+def test_gt_pose_cols_partial_header_falls_back(tmp_path):
+    """Regression: a header matching only the time name (position names
+    absent) must fall back to col_nums instead of raising KeyError."""
+    from roman_tpu.data.pose_data import PoseData
+
+    path = tmp_path / "weird.csv"
+    with open(path, "w") as fh:
+        fh.write("#timestamp_kf,tx,ty,tz,qw,qx,qy,qz\n")
+        for k in range(3):
+            fh.write(f"{(1000.0 + k) * 1e9:.0f},{0.5 * k},0,0,1,0,0,0\n")
+    spec = {"type": "csv", "path": str(path), "csv_options": {
+        "cols": {"time": ["#timestamp_kf"], "position": ["x", "y", "z"],
+                 "orientation": ["qx", "qy", "qz", "qw"]},
+        "col_nums": {"time": [0], "position": [1, 2, 3],
+                     "orientation": [5, 6, 7, 4]},
+        "timescale": 1e-9}}
+    pd = PoseData.from_yaml_spec(spec)
+    assert len(pd.times) == 3
+    np.testing.assert_allclose(pd.positions()[:, 0], [0, 0.5, 1.0], atol=1e-9)

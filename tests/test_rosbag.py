@@ -374,3 +374,69 @@ def test_static_transform_and_pointcloud_data(tmp_path):
     times, clouds = dp.load_pointcloud_data()
     assert times[0] == pytest.approx(4.0)
     np.testing.assert_allclose(clouds[0], pts)
+
+
+def test_read_poses_tf_frame_filtering(tmp_path):
+    """Regression: /tf topics carry many (parent, child) pairs; read_poses
+    must not interleave unrelated transforms (and supports explicit
+    frame selection)."""
+    from roman_tpu.data import rosbag
+
+    path = str(tmp_path / "tf.bag")
+    with rosbag.BagWriter(path) as w:
+        for k in range(4):
+            t = 100.0 + k
+            trs = [
+                {"header": {"stamp": t, "frame_id": "odom"},
+                 "child_frame_id": "base_link",
+                 "transform": {"translation": np.array([1.0 * k, 0, 0]),
+                               "rotation": np.array([0, 0, 0, 1.0])}},
+                {"header": {"stamp": t, "frame_id": "base_link"},
+                 "child_frame_id": "camera",
+                 "transform": {"translation": np.array([0.0, 9.0, 0]),
+                               "rotation": np.array([0, 0, 0, 1.0])}},
+            ]
+            w.write("/tf", "tf2_msgs/TFMessage", {"transforms": trs}, t)
+    # default: most frequent pair (tie -> a single consistent pair)
+    times, T = rosbag.read_poses(path, "/tf")
+    assert len(times) == 4
+    ys = T[:, 1, 3]
+    assert np.all(ys == ys[0])  # one pair only, no interleaving
+    # explicit selection
+    times2, T2 = rosbag.read_poses(path, "/tf", parent_frame="odom",
+                                   child_frame="base_link")
+    np.testing.assert_allclose(T2[:, 0, 3], [0, 1, 2, 3], atol=1e-12)
+    times3, T3 = rosbag.read_poses(path, "/tf", child_frame="camera")
+    np.testing.assert_allclose(T3[:, 1, 3], 9.0)
+    with np.testing.assert_raises(KeyError):
+        rosbag.read_poses(path, "/tf", parent_frame="nope")
+
+
+def test_reader_cache_and_lazy_chunks(tmp_path):
+    """open_reader returns the same parsed reader for repeated reads of
+    one bag (the demo reads color/depth/camera_info from the same file),
+    and invalidates on modification."""
+    import cv2 as cv
+
+    from roman_tpu.data import rosbag
+
+    path = str(tmp_path / "c.bag")
+    rng = np.random.default_rng(0)
+    with rosbag.BagWriter(path, compression="bz2") as w:
+        for k in range(3):
+            t = 10.0 + k
+            img = rng.integers(0, 255, (8, 12, 3), np.uint8)
+            w.write("/cam/image", "sensor_msgs/Image",
+                    rosbag.array_to_image(img, stamp=t), t)
+    r1 = rosbag.open_reader(path)
+    r2 = rosbag.open_reader(path)
+    assert r1 is r2
+    times, imgs = rosbag.read_images(path, "/cam/image")
+    assert imgs.shape == (3, 8, 12, 3)
+    # touching the file invalidates the cache entry
+    with open(path, "ab") as f:
+        f.write(b"")
+    import os as _os
+    _os.utime(path, ns=(1, 1))
+    r3 = rosbag.open_reader(path)
+    assert r3 is not r1
