@@ -4,7 +4,11 @@ environment) and lives in demo/map_viz.py; this forwards to it so
 reference invocations `python demo/o3d_viz.py <map.pkl> [--show-text]
 [--no-orig] [-t T0 T1]` keep working."""
 
+import os
 import runpy
 
 if __name__ == "__main__":
-    runpy.run_module("demo.map_viz", run_name="__main__", alter_sys=True)
+    runpy.run_path(
+        os.path.join(os.path.dirname(os.path.realpath(__file__)),
+                     "map_viz.py"),
+        run_name="__main__")

@@ -72,3 +72,30 @@ def test_ate_gate(demo_output):
     ate = float((demo_output / "offline_rpgo" / "ate_rmse.txt").read_text())
     assert np.isfinite(ate)
     assert ate < 1.0, f"ATE RMSE {ate} too high"
+
+
+def test_viz_cli_scripts(demo_output):
+    """The post-hoc viz CLIs run against the demo's artifacts:
+    o3d_viz/map_viz (3D map render) and association_vid (per-LC
+    association figures, reference demo/association_vid.py)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    png = demo_output / "map_render.png"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "demo", "o3d_viz.py"),
+         str(demo_output / "map" / "robot0.pkl"), "-o", str(png),
+         "--show-text"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert png.exists() and png.stat().st_size > 0
+
+    vid_dir = demo_output / "assoc_figs"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "demo", "association_vid.py"),
+         str(demo_output / "align" / "robot0_robot1" / "align.pkl"),
+         "-o", str(vid_dir), "-n", "4"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    figs = list(vid_dir.glob("*.png"))
+    assert len(figs) >= 1, "no association figures written"
