@@ -71,13 +71,32 @@ class RegistrationConfig:
 
     @property
     def feature_flags(self):
+        """(gravity, volume, extent, pca, semantics) governing which
+        blocks build_features PACKS. clipper+prune packs shape attrs and
+        descriptors so the candidate-list pruning can see them; whether
+        the INVARIANT consumes them is solve_flags' business."""
         if self.method in _ROMAN_FAMILY:
             return _ROMAN_FAMILY[self.method]
-        # clipper+prune / ransac use centers only
-        return (self.method == "clipper+prune", False, False, False, False)
+        if self.method == "clipper+prune":
+            return (False, True, False, True, True)
+        return (False, False, False, False, False)  # ransac: centers only
+
+    @property
+    def solve_flags(self):
+        """(gravity, use_ratio, use_cosine) the invariant applies at
+        solve time. clipper+prune prunes the association list by shape
+        ratio / cosine and then solves a PLAIN Euclidean-distance
+        CLIPPER — no gravity-guided distance, no ratio/cosine terms
+        (reference dist_reg_with_pruning.py:49-57; gravity enters only
+        as the post-hoc roll/pitch check)."""
+        if self.method == "clipper+prune":
+            return (False, False, False)
+        gravity, volume, extent, pca, semantics = self.feature_flags
+        return (gravity, volume or extent or pca, semantics)
 
     def invariant_params(self, n_ratio_feats: int) -> ROMANInvariantParams:
-        gravity, volume, extent, pca, semantics = self.feature_flags
+        gravity, use_ratio, use_cosine = self.solve_flags
+        use_ratio = use_ratio and n_ratio_feats > 0
         return ROMANInvariantParams(
             sigma=self.sigma,
             epsilon=self.epsilon,
@@ -86,14 +105,14 @@ class RegistrationConfig:
             cos_max=self.cos_max,
             ratio_epsilon=(
                 jnp.full((n_ratio_feats,), self.epsilon_shape)
-                if n_ratio_feats > 0
+                if use_ratio
                 else None
             ),
             gravity=gravity,
             gravity_unc_ang_rad=self.gravity_unc_ang_rad,
             fusion=self.fusion,
-            use_ratio=n_ratio_feats > 0,
-            use_cosine=semantics,
+            use_ratio=use_ratio,
+            use_cosine=use_cosine,
         )
 
 
@@ -171,13 +190,14 @@ def register_clipper(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationCo
     if cfg.use_pallas and cfg.fusion == "geometric_mean":
         from roman_tpu.align import fused_register as fr
 
-        gravity, _, _, _, semantics = cfg.feature_flags
+        gravity, use_ratio, use_cosine = cfg.solve_flags
         inv = fr.FusedInvariantStatics(
             sigma=cfg.sigma, epsilon=cfg.epsilon, mindist=cfg.mindist,
             cos_min=cfg.cos_min, cos_max=cfg.cos_max,
             eps_shape=cfg.epsilon_shape,
             gravity=gravity, gravity_unc_ang_rad=cfg.gravity_unc_ang_rad,
-            use_ratio=f1.ratio_feats.shape[-1] > 0, use_cosine=semantics,
+            use_ratio=use_ratio and f1.ratio_feats.shape[-1] > 0,
+            use_cosine=use_cosine and f1.descriptors.shape[-1] > 0,
             max_clique=cfg.max_clique,
         )
         sel, count, u, F = fr.fused_register(

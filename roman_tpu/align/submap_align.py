@@ -405,7 +405,15 @@ def align_submap_lists(submaps, cfg: RegistrationConfig,
                 angle_mat[i, j] = np.abs(np.rad2deg(theta)) if ok[k] else 180.0
                 dist_mat[i, j] = d
             num_assoc[i, j] = count
-            denom = np.mean([len(submaps[0][i]), len(submaps[1][j])])
+            len_i, len_j = len(submaps[0][i]), len(submaps[1][j])
+            if sm_params.single_robot_lc:
+                # registration ran on the submaps WITH shared segments
+                # removed (reference prunes the deepcopied submaps and
+                # divides by the pruned lengths, submap_align.py:108-115)
+                inter = len({s.id for s in submaps[0][i].segments}
+                            & {s.id for s in submaps[1][j].segments})
+                len_i, len_j = len_i - inter, len_j - inter
+            denom = np.mean([len_i, len_j])
             pct_assoc[i, j] = count / denom if denom > 0 else 0.0
 
     return SubmapAlignResults(

@@ -94,12 +94,12 @@ def auction_assignment(
     owner0 = jnp.full(benefit.shape[:-2] + (m,), -1, jnp.int32)
     (price, owner), _ = jax.lax.scan(body, (price0, owner0), None, length=n_iters)
 
-    # row -> col from col -> row
-    cols = jnp.arange(m, dtype=jnp.int32)
-    match = jnp.full(benefit.shape[:-1], -1, jnp.int32)
-    row_ids = jnp.where(owner >= 0, owner, n)  # overflow bucket
-    match = jnp.zeros(benefit.shape[:-2] + (n + 1,), jnp.int32).at[..., row_ids].set(
-        jnp.broadcast_to(cols, owner.shape), mode="drop"
-    )[..., :n]
-    got = jnp.any(owner[..., None, :] == jnp.arange(n)[:, None], axis=-1)
-    return jnp.where(got, match, -1)
+    # row -> col from col -> row via broadcast compare (a `.at[...,
+    # row_ids].set` scatter would be numpy OUTER indexing across batch
+    # dims — cross-batch garbage for any leading batch shape). A row
+    # owns at most one column (assigned rows never bid; losing a column
+    # unassigns the row), so argmax over the boolean ownership row is
+    # exact.
+    owner_eq = owner[..., None, :] == jnp.arange(n)[:, None]  # (..., n, m)
+    match = jnp.argmax(owner_eq, axis=-1).astype(jnp.int32)
+    return jnp.where(jnp.any(owner_eq, axis=-1), match, -1)

@@ -154,3 +154,26 @@ def arun_np(pts1: np.ndarray, pts2: np.ndarray,
         Vh[-1, :] *= -1.0
         R = U @ Vh
     return make_T(R, m1 - R @ m2)
+
+
+def umeyama_np(src: np.ndarray, dst: np.ndarray, with_scale: bool = False):
+    """Numpy twin of ops.arun.umeyama_alignment for HOST-side ATE glue
+    (a device round trip through the tunnel costs ~1 s for this 3x3
+    SVD). Returns (R, t, s) with dst ~= s R src + t."""
+    src = np.asarray(src, float)
+    dst = np.asarray(dst, float)
+    n = len(src)
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    sc, dc = src - mu_s, dst - mu_d
+    cov = (dc.T @ sc) / n
+    U, D, Vh = np.linalg.svd(cov)
+    S = np.ones(3)
+    S[2] = np.sign(np.linalg.det(U) * np.linalg.det(Vh))
+    R = (U * S[None, :]) @ Vh
+    if with_scale:
+        var_s = np.mean(np.sum(sc**2, axis=1))
+        s = float(np.sum(D * S) / max(var_s, 1e-12))
+    else:
+        s = 1.0
+    t = mu_d - s * (R @ mu_s)
+    return R, t, s

@@ -11,10 +11,9 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 from roman_tpu.data.pose_data import PoseData
-from roman_tpu.ops.arun import umeyama_alignment
+from roman_tpu.ops.se3_np import umeyama_np
 from roman_tpu.rpgo.g2o_io import g2o_and_time_to_pose_data
 
 
@@ -39,8 +38,8 @@ def ate_rmse(pd_est: PoseData, pd_gt: PoseData, max_diff: float = 0.1) -> float:
         return float("nan")
     p_gt = pd_gt.positions()[ri]
     p_est = pd_est.positions()[ei]
-    R, t, s = umeyama_alignment(jnp.asarray(p_est), jnp.asarray(p_gt), with_scale=False)
-    p_al = p_est @ np.asarray(R).T + np.asarray(t)
+    R, t, s = umeyama_np(p_est, p_gt, with_scale=False)
+    p_al = p_est @ R.T + t
     return float(np.sqrt(np.mean(np.sum((p_al - p_gt) ** 2, axis=1))))
 
 
@@ -80,8 +79,8 @@ def evaluate(
         return float("nan")
     p_gt = np.concatenate(all_gt)
     p_est = np.concatenate(all_est)
-    R, t, _ = umeyama_alignment(jnp.asarray(p_est), jnp.asarray(p_gt), with_scale=False)
-    p_al = p_est @ np.asarray(R).T + np.asarray(t)
+    R, t, _ = umeyama_np(p_est, p_gt, with_scale=False)
+    p_al = p_est @ R.T + t
     rmse = float(np.sqrt(np.mean(np.sum((p_al - p_gt) ** 2, axis=1))))
 
     if output_dir is not None:

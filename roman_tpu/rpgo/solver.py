@@ -176,11 +176,17 @@ def pcm_gate(T_init: np.ndarray, ii, jj, Tm, info, lc_mask: np.ndarray,
     # passes odometry-only T_init, which is per-robot consistent.
     # Here grouping uses (component of i, component of j) from odometry.
     comp = _odometry_components(len(T_init), ii, jj, lc_mask)
+    # group by the UNORDERED component pair: LCs between the same two
+    # robots may be written in either edge direction (fused graphs can
+    # combine a->b and b->a align runs) and must land in one group to
+    # mutually confirm; direction is canonicalized by inverting the
+    # frame-offset estimate of edges whose components are flipped
     groups: Dict[Tuple[int, int], List[int]] = {}
     for e in lc_idx:
-        groups.setdefault((comp[ii[e]], comp[jj[e]]), []).append(int(e))
+        ca, cb = int(comp[ii[e]]), int(comp[jj[e]])
+        groups.setdefault((min(ca, cb), max(ca, cb)), []).append(int(e))
 
-    for _, es in groups.items():
+    for (ca, cb), es in groups.items():
         es = np.asarray(es)
         n = len(es)
         # per-LC estimate of the (unknown, shared) frame offset between the
@@ -190,6 +196,9 @@ def pcm_gate(T_init: np.ndarray, ii, jj, Tm, info, lc_mask: np.ndarray,
             "eab,ebc,ecd->ead",
             T_init[ii[es]], Tm[es], np.linalg.inv(T_init[jj[es]]),
         )
+        flipped = comp[ii[es]] != ca
+        if flipped.any():
+            T_ab[flipped] = np.linalg.inv(T_ab[flipped])
         D = np.einsum("eab,fbc->efac", np.linalg.inv(T_ab), T_ab)
         from roman_tpu.ops import se3_np
 
@@ -228,7 +237,7 @@ def pcm_gate(T_init: np.ndarray, ii, jj, Tm, info, lc_mask: np.ndarray,
         # unfalsifiable downstream (gauge freedom makes its residual
         # exactly satisfiable, so GNC sees an inlier) — require mutual
         # confirmation for groups that connect two different components
-        inter = comp[ii[es[0]]] != comp[jj[es[0]]]
+        inter = ca != cb
         if inter and len(chosen) < min_inter_clique:
             chosen = []
         kept_es = {int(es[c]) for c in chosen}
@@ -376,6 +385,15 @@ def solve_arrays(
     def run(T):
         w = jnp.ones((E,), jnp.float32)
 
+        def edge_chi2(T):
+            # per-edge chi2 at the CURRENT poses — the GNC weight update
+            # must measure residuals where the iterate stands, not after
+            # an extra unit-weight GN step that both wastes a full
+            # jacobian+CG solve and drags poses toward the currently
+            # rejected outliers before measuring
+            r = jax.vmap(_edge_residual)(T[ii_j], T[jj_j], Tmi_j)
+            return jnp.einsum("ea,eab,eb->e", r, info_j, r)
+
         # initial GN pass at unit weights
         def gn_loop(T, w, n):
             def body(T, _):
@@ -393,7 +411,7 @@ def solve_arrays(
         def gnc_body(carry, _):
             T, mu = carry
             # TLS weight update (Yang et al. eq. 14)
-            _, chi2 = gn_step(T, ii_j, jj_j, Tmi_j, info_j, jnp.ones((E,), jnp.float32))
+            chi2 = edge_chi2(T)
             up = (mu + 1.0) / mu * barc2
             lo = mu / (mu + 1.0) * barc2
             w_lc = jnp.where(

@@ -173,3 +173,56 @@ def test_get_mca_and_mno_clipper():
     assert int(c1) >= int(c2)
     # solutions are non-overlapping
     assert not bool(jnp.any(sel1 & sel2))
+
+
+def test_clipper_prune_packing_and_solve_flags():
+    """Regression: for method clipper+prune, build_features must PACK
+    shape attrs + descriptors (the prune gates need them) while the
+    invariant solves plain Euclidean distance (no gravity branch, no
+    ratio/cosine consistency — reference dist_reg_with_pruning.py:49-57)."""
+    import numpy as np
+
+    from roman_tpu.align.registration import (RegistrationConfig,
+                                              build_features,
+                                              register_clipper_prune)
+
+    cfg = RegistrationConfig(method="clipper+prune", cos_min=0.9,
+                             epsilon_shape=0.8)
+    assert cfg.solve_flags == (False, False, False)
+    p = cfg.invariant_params(4)
+    assert not p.gravity and not p.use_ratio and not p.use_cosine
+
+    rng = np.random.default_rng(2)
+    centers = rng.uniform(-6, 6, (6, 3)).astype(np.float32)
+    pca = np.tile(np.array([0.4, 0.4, 0.2], np.float32), (6, 1))
+    vol = np.ones(6, np.float32)
+    descs = np.eye(6, 8, dtype=np.float32)
+    f1 = build_features(jnp.asarray(centers), jnp.ones(6, bool), cfg,
+                        pca_attrs=jnp.asarray(pca), volume=jnp.asarray(vol),
+                        descriptors=jnp.asarray(descs))
+    # packing now carries pca(3)+volume(1) ratio feats and descriptors
+    assert f1.ratio_feats.shape[-1] == 4 and f1.descriptors.shape[-1] == 8
+
+    # map2 = identical cloud, but the semantic identities are permuted
+    # for objects 4/5: distance-only CLIPPER still associates them
+    # (geometry is identical); the cosine prune must exclude them
+    perm = np.array([0, 1, 2, 3, 5, 4])
+    f2 = build_features(jnp.asarray(centers), jnp.ones(6, bool), cfg,
+                        pca_attrs=jnp.asarray(pca), volume=jnp.asarray(vol),
+                        descriptors=jnp.asarray(descs[perm]))
+    res_nosem = register_clipper_prune(f1, f2, cfg,
+                                       pca_attrs1=jnp.asarray(pca),
+                                       volume1=jnp.asarray(vol),
+                                       pca_attrs2=jnp.asarray(pca),
+                                       volume2=jnp.asarray(vol))
+    assert int(res_nosem.count) == 6  # no semantic prune: all match
+    res_sem = register_clipper_prune(f1, f2, cfg,
+                                     pca_attrs1=jnp.asarray(pca),
+                                     volume1=jnp.asarray(vol),
+                                     pca_attrs2=jnp.asarray(pca),
+                                     volume2=jnp.asarray(vol),
+                                     descriptors1=f1.descriptors,
+                                     descriptors2=f2.descriptors)
+    sel = np.argwhere(np.asarray(res_sem.sel))
+    assert int(res_sem.count) == 4
+    assert all(i == j and i < 4 for i, j in sel)

@@ -182,3 +182,20 @@ def test_voxel_iou_cross_far_sets_zero():
     same = voxel_iou_cross(jnp.asarray(p1), jnp.asarray(m),
                            jnp.asarray(p1), jnp.asarray(m), 0.2)
     assert float(same[0, 0]) == 1.0
+
+
+def test_auction_batched_matches_per_batch(rng):
+    """Regression: the old row->col scatter used numpy outer advanced
+    indexing across batch dims, corrupting every batch for B>1."""
+    B, n, m = 3, 5, 6
+    benefit = rng.uniform(0.1, 1.0, size=(B, n, m))
+    rm = np.ones((B, n), bool)
+    cm = np.ones((B, m), bool)
+    batched = np.asarray(hungarian.auction_assignment(
+        jnp.asarray(benefit), jnp.asarray(rm), jnp.asarray(cm),
+        n_iters=300, eps=1e-4))
+    for b in range(B):
+        single = np.asarray(hungarian.auction_assignment(
+            jnp.asarray(benefit[b]), jnp.asarray(rm[b]), jnp.asarray(cm[b]),
+            n_iters=300, eps=1e-4))
+        np.testing.assert_array_equal(batched[b], single)

@@ -319,3 +319,38 @@ def test_three_robot_false_pair_recovery(rng):
         T_rel = np.linalg.inv(Tb) @ Tc
         errs.append(np.linalg.norm(T_rel[:3, 3] - T_rel_gt[:3, 3]))
     assert np.median(errs) < 1.0, np.median(errs)
+
+
+def test_pcm_groups_opposite_direction_lcs():
+    """Regression: LCs between the same two robots written in opposite
+    edge directions must share a PCM group and mutually confirm (ordered
+    grouping made them un-confirmable singletons)."""
+    from roman_tpu.ops import se3_np
+    from roman_tpu.rpgo.solver import pcm_gate
+
+    # two robots, 3 poses each, walking along +x; true offset: robot B
+    # is robot A shifted by (0, 5, 0)
+    T_a = np.stack([se3_np.make_T(np.eye(3), [k, 0, 0]) for k in range(3)])
+    T_b = np.stack([se3_np.make_T(np.eye(3), [k, 0, 0]) for k in range(3)])
+    T_init = np.concatenate([T_a, T_b])
+    off = se3_np.make_T(np.eye(3), [0.0, 5.0, 0.0])  # T_a_b (b in a frame)
+
+    ii, jj, Tm, lc = [], [], [], []
+    for k in range(2):  # odometry chains
+        for base in (0, 3):
+            ii.append(base + k); jj.append(base + k + 1)
+            Tm.append(se3_np.inv_T(T_init[base + k]) @ T_init[base + k + 1])
+            lc.append(False)
+    # LC a0 -> b0 (forward direction): T_a0_b0 = inv(T_a0) @ off @ T_b0
+    ii.append(0); jj.append(3)
+    Tm.append(se3_np.inv_T(T_a[0]) @ off @ T_b[0]); lc.append(True)
+    # LC b2 -> a2 (REVERSED direction): T_b2_a2
+    ii.append(5); jj.append(2)
+    Tm.append(se3_np.inv_T(off @ T_b[2]) @ T_a[2]); lc.append(True)
+
+    ii = np.asarray(ii); jj = np.asarray(jj)
+    Tm = np.stack(Tm); lc = np.asarray(lc)
+    info = np.tile(np.eye(6), (len(ii), 1, 1))
+    keep = pcm_gate(T_init, ii, jj, Tm, info, lc, thresh=25.0,
+                    min_inter_clique=2)
+    assert keep[lc].all(), "mutually consistent opposite-direction LCs dropped"
