@@ -162,7 +162,8 @@ def run(params_path: str, run_name: str, max_time: Optional[float] = None,
             tf = min(tf, t0 + max_time)
         t0, tf = clip_time(t0, tf, max(times[0], pose_data.t0))
         runner = MapRunner(mapper_params, fastsam_params, camera, pose_data,
-                           t0=t0, tf=tf, dt=data_params.dt)
+                           t0=t0, tf=tf, dt=data_params.dt,
+                           T_camera_flu=data_params.T_camera_flu)
 
         scale = 255.0 if images.dtype == np.uint8 else 1.0
 
@@ -204,8 +205,12 @@ def mapping(params_path: str, output_path: str, run_name: str,
             t_offset += max_time
             if chunk.times[-1] >= chunk.times[0] and len(chunk.times) < 2:
                 break
-            # stop when the chunk did not reach the full max_time window
-            if (chunk.times[-1] - chunk.times[0]) < max_time * 0.9:
+            # stop when the chunk did not fill the max_time window. A
+            # FULL chunk spans max_time - dt (fencepost), so the bound
+            # must be dt-aware — a fixed 0.9*max_time fraction silently
+            # truncated runs whenever max_time <= ~10*dt
+            dt_est = float(np.median(np.diff(chunk.times)))
+            if (chunk.times[-1] - chunk.times[0]) < max_time - 2 * dt_est - 1e-9:
                 break
         roman_map = RomanMap.concatenate(chunks)
 

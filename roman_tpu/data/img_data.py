@@ -58,11 +58,15 @@ class ImgData:
             img = cv.imread(os.path.join(path, f), cv.IMREAD_COLOR)
             if img is None:
                 continue
-            times.append(t)
-            imgs.append(img[..., ::-1])  # BGR -> RGB
             if has_depth:
                 d = cv.imread(os.path.join(ddir, f), cv.IMREAD_UNCHANGED)
+                if d is None:
+                    raise FileNotFoundError(
+                        f"color frame {f!r} has no readable depth image at "
+                        f"{os.path.join(ddir, f)!r}")
                 depths.append(np.asarray(d, np.float32) / depth_scale)
+            times.append(t)
+            imgs.append(img[..., ::-1])  # BGR -> RGB
         return cls(
             times=np.asarray(times),
             images=np.stack(imgs),
@@ -122,13 +126,22 @@ class ImgData:
                 img = cv.imdecode(buf, cv.IMREAD_COLOR)
                 if img is None:
                     continue
-                times.append(t)
-                imgs.append(img[..., ::-1])  # BGR -> RGB
                 dn = depth_names.get(os.path.basename(n))
+                if depth_names and dn is None:
+                    # depth frames pair with color by INDEX downstream —
+                    # a silently skipped depth would misalign every
+                    # later frame, so missing entries are an error
+                    raise FileNotFoundError(
+                        f"color frame {n!r} has no matching depth entry "
+                        f"under {depth_subdir}/")
                 if dn is not None:
                     dbuf = np.frombuffer(zf.read(dn), np.uint8)
                     d = cv.imdecode(dbuf, cv.IMREAD_UNCHANGED)
+                    if d is None:
+                        raise ValueError(f"undecodable depth image {dn!r}")
                     depths.append(np.asarray(d, np.float32) / depth_scale)
+                times.append(t)
+                imgs.append(img[..., ::-1])  # BGR -> RGB
         return cls(
             times=np.asarray(times),
             images=np.stack(imgs),

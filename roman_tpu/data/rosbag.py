@@ -496,8 +496,19 @@ def pointcloud2_to_xyz(msg: dict) -> np.ndarray:
     if not all(k in names for k in ("x", "y", "z")):
         raise ValueError("PointCloud2 without x/y/z fields")
     step = msg["point_step"]
-    n = len(msg["data"]) // step
-    raw = np.frombuffer(msg["data"], np.uint8, count=n * step).reshape(n, step)
+    height = msg.get("height", 1) or 1
+    width = msg.get("width", 0)
+    row_step = msg.get("row_step", 0)
+    buf = np.frombuffer(msg["data"], np.uint8)
+    if height > 1 and row_step and row_step != width * step:
+        # organized cloud with per-row padding: slice each row's points
+        # (treating the payload as contiguous would read padding bytes as
+        # coordinates from row 2 on)
+        rows = buf[: height * row_step].reshape(height, row_step)
+        raw = rows[:, : width * step].reshape(height * width, step)
+    else:
+        n = len(buf) // step
+        raw = buf[: n * step].reshape(n, step)
     bo = ">" if msg.get("is_bigendian") else "<"
     cols = []
     for k in ("x", "y", "z"):

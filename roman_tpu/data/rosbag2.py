@@ -438,23 +438,33 @@ class Bag2Reader:
 
     def read_messages(self, topics=None,
                       raw: bool = False) -> Iterator[Tuple[str, object, float]]:
+        """Yield (topic, msg, t) in time order, STREAMING: each .db3 is
+        scanned with ORDER BY timestamp and the per-file cursors are
+        k-way merged, so peak memory is one row per file instead of the
+        whole (possibly multi-GB) payload set."""
+        import heapq
+
         if isinstance(topics, str):
             topics = [topics]
         want = None if topics is None else set(topics)
-        rows: List[Tuple[int, str, str, bytes]] = []
-        for db in self._dbs:
-            con = sqlite3.connect(db)
-            try:
-                q = ("SELECT m.timestamp, t.name, t.type, m.data "
-                     "FROM messages m JOIN topics t ON m.topic_id = t.id")
-                for ts, name, typ, data in con.execute(q):
-                    if want is None or name in want:
-                        rows.append((ts, name, typ, data))
-            finally:
+        cons = [sqlite3.connect(db) for db in self._dbs]
+        try:
+            cursors = [
+                con.execute(
+                    "SELECT m.timestamp, t.name, t.type, m.data "
+                    "FROM messages m JOIN topics t ON m.topic_id = t.id "
+                    "ORDER BY m.timestamp")
+                for con in cons
+            ]
+            for ts, name, typ, data in heapq.merge(
+                    *cursors, key=lambda r: r[0]):
+                if want is not None and name not in want:
+                    continue
+                msg = bytes(data) if raw else deserialize(typ, bytes(data))
+                yield name, msg, ts * 1e-9
+        finally:
+            for con in cons:
                 con.close()
-        for ts, name, typ, data in sorted(rows, key=lambda r: r[0]):
-            msg = bytes(data) if raw else deserialize(typ, bytes(data))
-            yield name, msg, ts * 1e-9
 
 
 class Bag2Writer:

@@ -89,9 +89,16 @@ class BatchMapper:
         self.poses: List[np.ndarray] = []
         self.times: List[float] = []
         self.frame_descriptors: List[np.ndarray] = []
+        self._T_camera_flu = np.eye(4)
         self._step_fn = self._build()
         self._step = jax.jit(self._step_fn)
         self._scan_steps = {}
+
+    def set_T_camera_flu(self, T: np.ndarray):
+        """Camera->FLU convention applied to the EXPORTED trajectory only
+        (reference Mapper.set_T_camera_flu; observation poses stay
+        camera-frame for point lifting)."""
+        self._T_camera_flu = np.asarray(T)
 
     # ------------------------------------------------------------------ #
     def _build(self):
@@ -122,6 +129,12 @@ class BatchMapper:
             score = geo_norm
             if use_sem:
                 cos = jnp.einsum("sd,od->so", state.descriptors, obs_desc)
+                # missing descriptor on either side scores a perfect 1.0,
+                # matching Mapper._semantic_score (geometry then decides;
+                # a zero placeholder would otherwise hard-reject the pair)
+                has_desc = (state.desc_count > 0)[:, None] & (
+                    jnp.linalg.norm(obs_desc, axis=-1) > 1e-9)[None, :]
+                cos = jnp.where(has_desc, cos, 1.0)
                 sem_norm = (cos - sem_lo) / jnp.maximum(sem_hi - sem_lo, 1e-9)
                 ok_pair = (iou >= geo_lo) & (cos >= sem_lo)
                 score = jnp.sqrt(jnp.maximum(geo_norm * sem_norm, 0.0))
@@ -273,6 +286,7 @@ class BatchMapper:
         self._step_fn = self._build()
         self._step = jax.jit(self._step_fn)
         self._scan_steps = {}
+        self._export_fn = None  # packed layout includes the desc block
 
     def _get_scan_step(self, sig):
         """One dispatch for a whole batch of frames: lax.scan of the
@@ -367,35 +381,85 @@ class BatchMapper:
             self.state, jnp.float32(t), jnp.asarray(obs_pts), jnp.asarray(obs_val),
             jnp.asarray(obs_desc), jnp.asarray(obs_mask))
 
+    def _export_packed(self):
+        """ONE device program + TWO packed fetches for the whole export:
+        geometry (OBB volume/extent, Weinmann attrs) is computed on
+        device from the resident pools and everything ships as one f32 +
+        one i32 buffer — a field-by-field tree fetch plus a re-upload
+        for the geometry pass costs ~15 transfers at ~1 s each through
+        the tunnel (CLAUDE.md: single fetch per result field)."""
+        if getattr(self, "_export_fn", None) is None:
+            @jax.jit
+            def export(state: MapState):
+                vol, extent = obb_volume_extent(state.points, state.points_valid)
+                attrs = shape_attributes(state.points, state.points_valid)
+                f32 = jnp.concatenate([
+                    state.points.reshape(-1),
+                    state.descriptors.reshape(-1).astype(jnp.float32),
+                    state.desc_count, state.first_seen, state.last_seen,
+                    vol, extent.reshape(-1), attrs.reshape(-1),
+                ]).astype(jnp.float32)
+                i32 = jnp.concatenate([
+                    state.points_valid.reshape(-1).astype(jnp.int32),
+                    state.status, state.num_sightings, state.seg_id,
+                ]).astype(jnp.int32)
+                return f32, i32
+
+            self._export_fn = export
+        f32, i32 = self._export_fn(self.state)
+        f32 = np.asarray(f32)
+        i32 = np.asarray(i32)
+        S = self.params.max_segments
+        P = self.params.max_points_per_segment
+        D = self.desc_dim
+
+        def take(buf, pos, size, shape):
+            return buf[pos: pos + size].reshape(shape), pos + size
+
+        pos = 0
+        points, pos = take(f32, pos, S * P * 3, (S, P, 3))
+        desc, pos = take(f32, pos, S * D, (S, D))
+        desc_count, pos = take(f32, pos, S, (S,))
+        first_seen, pos = take(f32, pos, S, (S,))
+        last_seen, pos = take(f32, pos, S, (S,))
+        vol, pos = take(f32, pos, S, (S,))
+        extent, pos = take(f32, pos, S * 3, (S, 3))
+        attrs, pos = take(f32, pos, S * 3, (S, 3))
+        pos = 0
+        points_valid, pos = take(i32, pos, S * P, (S, P))
+        status, pos = take(i32, pos, S, (S,))
+        _, pos = take(i32, pos, S, (S,))  # num_sightings (unused in export)
+        seg_id, pos = take(i32, pos, S, (S,))
+        return (points, points_valid.astype(bool), desc, desc_count,
+                first_seen, last_seen, vol, extent, attrs, status, seg_id)
+
     def get_roman_map(self) -> RomanMap:
         """Fetch the pooled map once and export SegmentData records."""
-        s = jax.tree.map(np.asarray, self.state)
+        (points, points_valid, desc, desc_count, first_seen, last_seen,
+         vol, extent, attrs, status, seg_id) = self._export_packed()
         segments = []
-        live = s.status > EMPTY
-        pts_j = jnp.asarray(s.points)
-        val_j = jnp.asarray(s.points_valid)
-        vol, extent = (np.asarray(x) for x in obb_volume_extent(pts_j, val_j))
-        attrs = np.asarray(shape_attributes(pts_j, val_j))
+        live = status > EMPTY
         for i in np.flatnonzero(live):
-            pv = s.points_valid[i]
+            pv = points_valid[i]
             if not pv.any():
                 continue
-            pts = s.points[i][pv]
+            pts = points[i][pv]
             segments.append(SegmentData(
-                id=int(s.seg_id[i]),
+                id=int(seg_id[i]),
                 center=pts.mean(axis=0),
                 volume=float(vol[i]),
                 linearity=float(attrs[i, 0]),
                 planarity=float(attrs[i, 1]),
                 scattering=float(attrs[i, 2]),
                 extent=extent[i],
-                semantic_descriptor=s.descriptors[i] if s.desc_count[i] > 0 else None,
-                first_seen=float(s.first_seen[i]),
-                last_seen=float(s.last_seen[i]),
+                semantic_descriptor=desc[i] if desc_count[i] > 0 else None,
+                first_seen=float(first_seen[i]),
+                last_seen=float(last_seen[i]),
             ))
         return RomanMap(
             segments=segments,
-            trajectory=np.stack(self.poses) if self.poses else np.zeros((0, 4, 4)),
+            trajectory=(np.stack(self.poses) @ self._T_camera_flu
+                        if self.poses else np.zeros((0, 4, 4))),
             times=np.asarray(self.times),
             descriptors=(np.stack(self.frame_descriptors)
                          if self.frame_descriptors else None),

@@ -51,17 +51,23 @@ class MapRunner:
         t0: Optional[float] = None,
         tf: Optional[float] = None,
         dt: float = 1.0 / 6.0,
+        T_camera_flu=None,
     ):
         self.camera = camera
         self.pose_data = pose_data
         self.fastsam_params = fastsam_params
         self.mapper_params = mapper_params
+        # camera->FLU convention for the OUTPUT trajectory only
+        # (reference run.py:94-95); observation poses stay camera-frame
+        self.T_camera_flu = T_camera_flu
         self.device_mapper = mapper_params.mapper_backend == "device"
         if self.device_mapper:
             # constructed lazily once the descriptor dim is known
             self.mapper = None
         else:
             self.mapper = Mapper(mapper_params, camera)
+            if T_camera_flu is not None:
+                self.mapper.set_T_camera_flu(np.asarray(T_camera_flu))
         self.frontend = frontend
         self.dt = dt
         self.t0 = pose_data.t0 if t0 is None else t0
@@ -78,6 +84,8 @@ class MapRunner:
             self.mapper = BatchMapper(
                 self.mapper_params, self.camera, desc_dim=desc_dim,
                 obs_capacity=self.fastsam_params.max_masks_per_frame)
+            if self.T_camera_flu is not None:
+                self.mapper.set_T_camera_flu(np.asarray(self.T_camera_flu))
         else:
             # widen if the first batches had no descriptors and the pool
             # was created at the placeholder width

@@ -83,14 +83,19 @@ class DataParams:
         p = dict(self.pose_data_params or {})
         path = expandvars_recursive(p.pop("path"))
         kind = p.pop("type", "csv")
-        # frame-convention post-multiply (reference PoseDataParams
-        # T_odombase_camera / T_camera_flu, data_params.py:200-212;
-        # robotdatapy applies it as pose @ T_postmultiply)
+        # frame-convention post-multiply: ONLY T_postmultiply /
+        # T_odombase_camera bake into the loaded poses, which must remain
+        # T_odom_camera (reference data_params.py:200-212). T_camera_flu
+        # is NOT composed here — the reference hands it to the mapper
+        # (Mapper.set_T_camera_flu, run.py:94-95) which uses it solely to
+        # express the OUTPUT trajectory in the FLU body frame, while
+        # observation lifting keeps camera-frame poses.
         T_post = None
-        for key in ("T_postmultiply", "T_odombase_camera", "T_camera_flu"):
+        for key in ("T_postmultiply", "T_odombase_camera"):
             if p.get(key) is not None:
                 T_post = find_transformation(p.pop(key))
                 break
+        p.pop("T_camera_flu", None)
         kw = {k: v for k, v in p.items()
               if k in ("interp", "time_tol", "t0_shift")}
         if kind == "bag":
@@ -102,6 +107,15 @@ class DataParams:
         if T_post is not None:
             pd.poses = pd.poses @ T_post
         return pd
+
+    @property
+    def T_camera_flu(self):
+        """(4, 4) camera->FLU convention matrix from pose_data, or None —
+        consumed by the mapper for FLU trajectory output (reference
+        PoseDataParams.T_camera_flu + Mapper.set_T_camera_flu)."""
+        p = self.pose_data_params or {}
+        spec = p.get("T_camera_flu")
+        return None if spec is None else find_transformation(spec)
 
     def load_camera_params(self) -> CameraParams:
         p = self.img_data_params or {}

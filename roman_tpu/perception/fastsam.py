@@ -130,9 +130,15 @@ class DetectSegHead(nn.Module):
     def __call__(self, x):
         c = self.cfg
         dt = c.dtype
-        cb = max(x.shape[-1] // 4, 4 * c.reg_max // 4, 16)
-        cc = max(x.shape[-1], min(c.nc, 100), 16)
-        c4 = max(x.shape[-1] // 4, c.nm)
+        # hidden widths follow ultralytics Detect/Segment: computed ONCE
+        # from ch[0] (the P3 channel count) and shared by all levels —
+        # c2 = max(16, ch[0]//4, reg_max*4), c3 = max(ch[0], min(nc,100)),
+        # c4 = max(ch[0]//4, nm). Per-level input widths here would make
+        # real checkpoint kernels shape-mismatch at P4/P5.
+        ch0 = c.ch(256)
+        cb = max(16, ch0 // 4, c.reg_max * 4)
+        cc = max(ch0, min(c.nc, 100))
+        c4 = max(ch0 // 4, c.nm)
         box = ConvBnSiLU(cb, 3, dtype=dt, name="cv2_0")(x)
         box = ConvBnSiLU(cb, 3, dtype=dt, name="cv2_1")(box)
         box = nn.Conv(4 * c.reg_max, (1, 1), dtype=dt, name="cv2_2")(box)

@@ -495,25 +495,41 @@ def apply_label_filters(masks: jax.Array, valid: jax.Array,
       (keep-mask intersection fraction, fastsam_wrapper.py:560).
     """
     B, K, H, W = masks.shape
-    ys = jnp.arange(H, dtype=jnp.float32)[None, None, None, :, None]
-    xs = jnp.arange(W, dtype=jnp.float32)[None, None, None, None, :]
+    # per-mask summed-area table: each box's mask-pixel intersection is 4
+    # corner lookups instead of an O(nb*H*W) elementwise reduction per
+    # mask (~30x less work at detection-filter scales)
+    m = masks.astype(jnp.float32)
+    sat = jnp.pad(m, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    sat = jnp.cumsum(jnp.cumsum(sat, axis=-2), axis=-1)  # (B, K, H+1, W+1)
+    sat_flat = sat.reshape(B, K, (H + 1) * (W + 1))
+    area = jnp.maximum(jnp.sum(m, axis=(-2, -1)), 1.0)  # (B, K)
 
     def frac_in_boxes(boxes):
-        # boxes (B, nb, 4) -> (B, K) max fraction of mask inside any box.
+        # boxes (B, nb, 4) xyxy -> (B, K) max fraction of mask inside any
+        # box. Pixel (x, y) counts as inside when x1 <= x <= x2 and
+        # y1 <= y <= y2 (integer range [ceil(lo), floor(hi)]).
         # Degenerate (zero-extent) rows are the padding convention for
         # "no detection" — without the validity gate a (0,0,0,0) padding
         # box contains pixel (0,0) and the any-overlap ignore threshold
         # would drop every mask touching the image's top-left corner.
-        x1 = boxes[..., 0][:, None, :, None, None]
-        y1 = boxes[..., 1][:, None, :, None, None]
-        x2 = boxes[..., 2][:, None, :, None, None]
-        y2 = boxes[..., 3][:, None, :, None, None]
-        box_valid = (x2 > x1) & (y2 > y1)
-        inbox = ((xs >= x1) & (xs <= x2) & (ys >= y1) & (ys <= y2)
-                 & box_valid)  # (B,1,nb,H,W)
-        inter = jnp.sum(masks[:, :, None].astype(jnp.float32) * inbox, axis=(-2, -1))
-        area = jnp.maximum(jnp.sum(masks, axis=(-2, -1)), 1.0)[:, :, None]
-        return jnp.max(inter / area, axis=-1)  # (B, K)
+        x1 = jnp.clip(jnp.ceil(boxes[..., 0]), 0, W).astype(jnp.int32)
+        y1 = jnp.clip(jnp.ceil(boxes[..., 1]), 0, H).astype(jnp.int32)
+        x2 = jnp.clip(jnp.floor(boxes[..., 2]) + 1, 0, W).astype(jnp.int32)
+        y2 = jnp.clip(jnp.floor(boxes[..., 3]) + 1, 0, H).astype(jnp.int32)
+        box_valid = ((boxes[..., 2] > boxes[..., 0])
+                     & (boxes[..., 3] > boxes[..., 1])
+                     & (x2 > x1) & (y2 > y1))  # (B, nb)
+
+        def corner(yy, xx):  # (B, nb) each -> (B, K, nb)
+            idx = (yy * (W + 1) + xx)[:, None, :]
+            return jnp.take_along_axis(
+                sat_flat, jnp.broadcast_to(idx, (B, K, idx.shape[-1])),
+                axis=-1)
+
+        inter = (corner(y2, x2) - corner(y1, x2)
+                 - corner(y2, x1) + corner(y1, x1))
+        inter = jnp.where(box_valid[:, None, :], inter, 0.0)
+        return jnp.max(inter / area[:, :, None], axis=-1)  # (B, K)
 
     ok = valid
     if ignore_boxes is not None:

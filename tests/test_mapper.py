@@ -107,3 +107,38 @@ def test_plane_pruning(rng):
     seg = Segment(obs, CameraParams.simple(), 0)
     out = mapper.remove_bad_segments([seg], plane_prune_params=params.plane_prune_params)
     assert out == []
+
+
+def test_t_camera_flu_affects_trajectory_not_observations():
+    """Reference semantics (run.py:94-95): T_camera_flu converts only the
+    EXPORTED trajectory to the FLU body frame; observation lifting keeps
+    camera-frame poses (a composed pose would put depth points on the
+    wrong axes)."""
+    from roman_tpu.data.camera import CameraParams
+    from roman_tpu.map.mapper import Mapper
+    from roman_tpu.map.observation import Observation
+    from roman_tpu.ops import se3_np
+    from roman_tpu.params.mapper_params import MapperParams
+
+    T_rdf_flu = np.array([[0.0, 0, 1, 0], [-1, 0, 0, 0],
+                          [0, -1, 0, 0], [0, 0, 0, 1]])
+    cam_pose = se3_np.make_T(np.eye(3), np.array([1.0, 2.0, 3.0]))
+    pts_cam = np.tile(np.array([0.0, 0.0, 5.0]), (30, 1)) \
+        + np.random.default_rng(0).normal(0, 0.05, (30, 3))
+
+    m = Mapper(MapperParams(min_sightings=1, max_t_no_sightings=10.0,
+                            min_max_extent=0.01), CameraParams.simple(64, 48))
+    m.set_T_camera_flu(T_rdf_flu)
+    for t in (0.0, 0.5):
+        obs = Observation(time=t, pose=cam_pose, mask=None,
+                          mask_downsampled=None, point_cloud=pts_cam.copy(),
+                          semantic_descriptor=None)
+        m.update(t, cam_pose, [obs], None)
+    rm = m.get_roman_map()
+    # trajectory is FLU-composed
+    np.testing.assert_allclose(rm.trajectory[0], cam_pose @ T_rdf_flu,
+                               atol=1e-12)
+    # segment center is the camera-frame lift: pose @ [0,0,5]
+    assert len(rm.segments) >= 1
+    expect = cam_pose[:3, :3] @ np.array([0, 0, 5.0]) + cam_pose[:3, 3]
+    np.testing.assert_allclose(rm.segments[0].center, expect, atol=0.1)

@@ -68,10 +68,13 @@ def test_data_yaml_loads_bags(demo_data, monkeypatch):
 
     pd = dp.load_pose_data()
     assert len(pd.times) == 4
-    # T_camera_flu (T_RDFFLU) post-multiply applied: the rotation part is
-    # no longer identity even though the odometry quaternions were
+    # loaded poses stay T_odom_camera (identity rotations here);
+    # T_camera_flu is exposed separately for the mapper's FLU trajectory
+    # (reference run.py:94-95 — it is NOT baked into the pose stream)
     R = pd.poses[0][:3, :3]
-    assert not np.allclose(R, np.eye(3))
+    assert np.allclose(R, np.eye(3))
+    T_cf = dp.T_camera_flu
+    assert T_cf is not None and not np.allclose(T_cf[:3, :3], np.eye(3))
     cam = dp.load_camera_params()
     assert (cam.width, cam.height) == (32, 24)
 
