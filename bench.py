@@ -96,10 +96,14 @@ def lc_quality_from_lists(ok, count, T_align, T_ij_all, min_assoc=4,
                     < angle_thresh_deg)
         if predicted and positive and good:
             tp += 1
-        elif predicted:
-            fp += 1
-        elif positive:
-            fn += 1
+        else:
+            if predicted:
+                fp += 1
+            if positive:
+                # a wrong prediction on a positive pair is BOTH a false
+                # positive and a missed closure — counting it only as fp
+                # would overstate recall
+                fn += 1
     return tp / max(tp + fp, 1), tp / max(tp + fn, 1)
 
 
@@ -308,11 +312,17 @@ def run_baseline(feats, cfg, n_sample=3):
     probe = _native_solve_pair(*_pair_features(feats, 0, 0), cfg)
     solve = _native_solve_pair if probe is not None else _np_solve_pair
     engine = "cpp" if probe is not None else "numpy"
-    t0 = time.perf_counter()
+    # materialize pair features BEFORE the timer: _pair_features fetches
+    # device arrays, and each tunnel transfer costs ~1 s — timing them
+    # would deflate the serial baseline and inflate vs_baseline
+    sample = []
     for k in range(n_sample):
         i = (k * n0) // n_sample
-        j = (k * n1 * 3 // 2) % n1
-        solve(*_pair_features(feats, i, j), cfg)
+        j = ((2 * k + 1) * n1) // (2 * n_sample)  # interleaved column spread
+        sample.append(_pair_features(feats, i, j))
+    t0 = time.perf_counter()
+    for args in sample:
+        solve(*args, cfg)
     dt = (time.perf_counter() - t0) / n_sample
     return 1.0 / dt, engine
 

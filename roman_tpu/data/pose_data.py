@@ -110,6 +110,9 @@ class PoseData:
         if kind == "csv":
             if "csv_options" in spec:
                 return cls.from_csv_options(path, spec["csv_options"], **kw)
+            for opt in ("time_col", "delimiter", "skiprows"):
+                if opt in spec:
+                    kw[opt] = spec[opt]
             return cls.from_csv(path, **kw)
         if kind == "bag":
             return cls.from_bag(path, expandvars_recursive(spec["topic"]),

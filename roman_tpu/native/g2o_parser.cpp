@@ -54,21 +54,34 @@ void* g2o_parse(const char* path) {
     }
     if (std::strncmp(line, "VERTEX_SE3:QUAT", 15) == 0) {
       Vertex v;
-      long long key;
-      int got = std::sscanf(line + 15, "%lld %lf %lf %lf %lf %lf %lf %lf",
-                            &key, &v.xyzq[0], &v.xyzq[1], &v.xyzq[2],
+      char tok[64];
+      int off = 0;
+      char* p = line + 15;
+      // vertex tokens may carry letter prefixes ('a0'), same as edge
+      // tokens: keep digits only (parity with g2o_io._strip_to_int)
+      if (std::sscanf(p, "%63s%n", tok, &off) != 1) { delete g; std::fclose(f); return nullptr; }
+      p += off;
+      long long key = 0;
+      for (const char* s = tok; *s; ++s)
+        if (*s >= '0' && *s <= '9') key = key * 10 + (*s - '0');
+      int got = std::sscanf(p, "%lf %lf %lf %lf %lf %lf %lf",
+                            &v.xyzq[0], &v.xyzq[1], &v.xyzq[2],
                             &v.xyzq[3], &v.xyzq[4], &v.xyzq[5], &v.xyzq[6]);
-      if (got == 8) {
-        v.key = key;
-        g->vertices.push_back(v);
-      }
+      if (got != 7) { delete g; std::fclose(f); return nullptr; }
+      v.key = key;
+      g->vertices.push_back(v);
     } else if (std::strncmp(line, "EDGE_SE3:QUAT", 13) == 0) {
       Edge e;
       long long v1, v2;
       char tok1[64], tok2[64];
       char* p = line + 13;
       int off = 0;
-      if (std::sscanf(p, "%63s %63s%n", tok1, tok2, &off) != 2) continue;
+      // malformed edge lines are a hard error (the python reference
+      // asserts, g2o_io.py): skipping would let a pending '# LC: n'
+      // count silently re-attach to the NEXT edge
+      if (std::sscanf(p, "%63s %63s%n", tok1, tok2, &off) != 2) {
+        delete g; std::fclose(f); return nullptr;
+      }
       p += off;
       // vertex tokens may carry letter prefixes ('a0 b5'): keep digits only
       auto strip = [](const char* s) -> long long {
@@ -88,7 +101,7 @@ void* g2o_parse(const char* path) {
         if (std::sscanf(p, "%lf%n", &e.info[k], &off) != 1) ok = false;
         p += off;
       }
-      if (!ok) continue;
+      if (!ok) { delete g; std::fclose(f); return nullptr; }
       e.v1 = v1;
       e.v2 = v2;
       e.lc_count = pending_lc;

@@ -96,14 +96,13 @@ class DataParams:
                 T_post = find_transformation(p.pop(key))
                 break
         p.pop("T_camera_flu", None)
-        kw = {k: v for k, v in p.items()
-              if k in ("interp", "time_tol", "t0_shift")}
-        if kind == "bag":
-            pd = PoseData.from_bag(path, expandvars_recursive(p["topic"]), **kw)
-        else:
-            pd = PoseData.from_csv(
-                path, **{k: v for k, v in p.items()
-                         if k in ("time_col", "delimiter", "skiprows")}, **kw)
+        # delegate source dispatch to the shared spec loader so csv
+        # sources honor csv_options (robotdatapy col_nums/cols/timescale
+        # schemas) exactly like standalone gt_pose yamls do — a parallel
+        # from_csv call here silently mis-parsed EuRoC-layout csvs
+        p["type"] = kind
+        p["path"] = path
+        pd = PoseData.from_yaml_spec(p)
         if T_post is not None:
             pd.poses = pd.poses @ T_post
         return pd

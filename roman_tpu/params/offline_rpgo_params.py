@@ -18,8 +18,8 @@ class OfflineRPGOParams:
     sparsified: bool = True
 
     # solver knobs (TPU-native robust PGO replacing the RpgoReadG2o
-    # subprocess, demo/demo.py:246-250); gnc_inlier_cost mirrors Kimera's
-    # PCM/GNC odometry-consistency gate at 0.9 confidence
+    # subprocess, demo/demo.py:246-250); the PCM gate threshold lives in
+    # rpgo.solver.RPGOSolverParams.pcm_thresh
     gnc_iters: int = 25
     gn_iters: int = 6
     pcm_gate: bool = True

@@ -76,7 +76,9 @@ def plot_map_3d(segments, ax=None, color_by_id: bool = True, trajectory=None,
             c = np.asarray(seg.center).reshape(1, 3)
             pts = c
         if len(pts) > max_points_per_seg:
-            pts = pts[:: len(pts) // max_points_per_seg]
+            # ceil stride so the cap actually holds (floor stride lets
+            # lengths just above the cap plot up to ~2x of it)
+            pts = pts[:: -(-len(pts) // max_points_per_seg)]
         col = np.array(_seg_color(seg.id)) / 255.0 if color_by_id else None
         ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=2, color=col)
         if show_labels:
