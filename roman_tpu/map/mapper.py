@@ -267,7 +267,8 @@ class Mapper:
         compacted to SegmentData (the alignment stage's input)."""
         return RomanMap(
             segments=[s.minimal_data() for s in self.get_segment_map()],
-            trajectory=np.stack(self.poses_flu_history),
+            trajectory=(np.stack(self.poses_flu_history)
+                        if self.poses_flu_history else np.zeros((0, 4, 4))),
             times=np.asarray(self.times_history),
             descriptors=(np.stack(self.frame_descriptors_history)
                          if self.frame_descriptors_history else None),

@@ -178,3 +178,32 @@ def test_real_scale_parameter_counts():
                                          jnp.zeros((1, 518, 518, 3))))
     nv = n_params(vv["params"])
     assert 8.0e7 < nv < 9.5e7, nv
+
+
+def test_head_hidden_widths_match_ultralytics():
+    """Regression: head hidden widths must follow ultralytics (computed
+    once from the P3 channel count, shared by all levels) or real
+    checkpoint kernels shape-mismatch at P4/P5: c2 = max(16, ch0//4,
+    reg_max*4), c3 = max(ch0, min(nc, 100)), c4 = max(ch0//4, nm)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from roman_tpu.perception.fastsam import FASTSAM_X, DetectSegHead
+
+    c = FASTSAM_X
+    ch0 = c.ch(256)  # 320 at x scale
+    want_cb = max(16, ch0 // 4, c.reg_max * 4)   # 80
+    want_cc = max(ch0, min(c.nc, 100))           # 320
+    want_c4 = max(ch0 // 4, c.nm)                # 80
+    # instantiate each level head with its level's input width — the
+    # HIDDEN widths must not vary across levels
+    for lvl, in_ch in enumerate((c.ch(256), c.ch(512), c.ch(512))):
+        head = DetectSegHead(c, lvl)
+        params = head.init(jax.random.key(0),
+                           jnp.zeros((1, 8, 8, in_ch), jnp.float32))
+        p = params["params"]
+        assert p["cv2_0"]["conv"]["kernel"].shape[-1] == want_cb, lvl
+        assert p["cv3_0"]["conv"]["kernel"].shape[-1] == want_cc, lvl
+        assert p["cv4_0"]["conv"]["kernel"].shape[-1] == want_c4, lvl
+        assert p["cv2_2"]["kernel"].shape[-1] == 4 * c.reg_max
