@@ -135,13 +135,23 @@ def _bottom_middle(pts: np.ndarray) -> np.ndarray:
                      np.min(pts[:, 2])])
 
 
-def _geometry_from_points(pts: np.ndarray):
-    import jax.numpy as jnp
-
-    from roman_tpu.ops.geometry import obb_volume_extent, shape_attributes
-
-    p = jnp.asarray(pts[None], jnp.float32)
-    v = jnp.ones((1, len(pts)), bool)
-    vol, extent = obb_volume_extent(p, v)
-    attrs = shape_attributes(p, v)
-    return float(np.asarray(vol)[0]), np.asarray(extent)[0], np.asarray(attrs)[0]
+def _geometry_from_points(pts: np.ndarray, min_points: int = 5):
+    """Host numpy twin of ops.geometry obb_volume_extent +
+    shape_attributes for one point set — this converter runs per
+    segment on the host, and a per-segment jax call would pay ~3
+    tunnel transfers (~1 s each) per segment on large reference maps."""
+    pts = np.asarray(pts, np.float64)
+    mu = pts.mean(axis=0)
+    c = pts - mu
+    cov = c.T @ c / len(pts)
+    evals, vecs = np.linalg.eigh(cov)  # ascending
+    e = np.clip(evals[::-1], 0.0, None)
+    e = e / max(e.sum(), 1e-12)
+    e1 = max(e[0], 1e-12)
+    attrs = np.array([(e[0] - e[1]) / e1, (e[1] - e[2]) / e1, e[2] / e1])
+    if len(pts) >= min_points:
+        proj = c @ vecs[:, ::-1]  # principal-axis frame (descending)
+        extent = proj.max(axis=0) - proj.min(axis=0)
+    else:
+        extent = np.zeros(3)
+    return float(np.prod(extent)), extent, attrs
