@@ -27,20 +27,29 @@ class GravityConstraintError(Exception):
 
 
 class DistRegWithPruning(ObjectRegistration):
-    def __init__(self, sigma: float = 0.3, epsilon: float = 0.5,
-                 mindist: float = 0.2, cos_min: Optional[float] = None,
-                 epsilon_shape: Optional[float] = None,
-                 use_gravity: bool = True, dim: int = 3):
+    """Constructor signature mirrors reference
+    dist_reg_with_pruning.py:17-18 exactly:
+    (sigma, epsilon, mindist=0.0, shape_epsilon=0.0, cos_min=0.85,
+     dim=3, use_gravity=False, roll_pitch_thresh=np.deg2rad(5))."""
+
+    def __init__(self, sigma: float, epsilon: float,
+                 mindist: float = 0.0, shape_epsilon: float = 0.0,
+                 cos_min: float = 0.85, dim: int = 3,
+                 use_gravity: bool = False,
+                 roll_pitch_thresh: float = float(np.deg2rad(5))):
+        assert not use_gravity or dim == 3, \
+            "Gravity can only be used with 3D points"
         cfg = RegistrationConfig(
             method="clipper+prune", dim=dim, sigma=sigma, epsilon=epsilon,
-            mindist=mindist,
-            cos_min=(cos_min if cos_min is not None else -1.0),
-            epsilon_shape=(epsilon_shape if epsilon_shape is not None else 0.0),
+            mindist=mindist, cos_min=cos_min, epsilon_shape=shape_epsilon,
+            roll_pitch_thresh=roll_pitch_thresh,
         )
         super().__init__(cfg)
         self.use_gravity = use_gravity
-        self.prune_semantics = cos_min is not None
-        self.prune_shape = epsilon_shape is not None
+        # cos_min <= -1 / shape_epsilon <= 0 prune nothing (reference
+        # semantics: thresholds always applied; these values are no-ops)
+        self.prune_semantics = cos_min > -1.0
+        self.prune_shape = shape_epsilon > 0.0
 
     def _prune_kwargs(self, map1: List, map2: List, f1, f2):
         import jax.numpy as jnp

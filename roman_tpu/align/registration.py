@@ -58,6 +58,11 @@ class RegistrationConfig:
     roll_pitch_thresh: float = float(np.deg2rad(5))
     ransac_iter: int = 4096
     max_clique: int = 64
+    # explicit (gravity, volume, extent, pca, semantics) flags; when set
+    # they override the method table, supporting arbitrary feature
+    # combinations like the reference's additive ratio_feature_dim
+    # (roman_registration.py:55-70)
+    feature_overrides: Optional[tuple] = None
     use_pallas: bool = False  # fused VMEM-resident pallas register kernel
     pallas_pairs_per_step: int = 4  # pairs per kernel grid step (v5e sweep:
     # K=2 1481, K=4 1685, K=5 1689, K=6 1589 pairs/s; 8 overflows VMEM)
@@ -75,6 +80,8 @@ class RegistrationConfig:
         blocks build_features PACKS. clipper+prune packs shape attrs and
         descriptors so the candidate-list pruning can see them; whether
         the INVARIANT consumes them is solve_flags' business."""
+        if self.feature_overrides is not None:
+            return tuple(self.feature_overrides)
         if self.method in _ROMAN_FAMILY:
             return _ROMAN_FAMILY[self.method]
         if self.method == "clipper+prune":

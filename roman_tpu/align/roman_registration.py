@@ -49,7 +49,11 @@ class ROMANParams:
 
 def _method_for(p: ROMANParams) -> str:
     """Map the feature-flag combination onto the engine's method table
-    (submap_align_params.py:98-116 semantics)."""
+    (submap_align_params.py:98-116 semantics). Combinations outside the
+    table keep method='roman' for naming but the config carries the
+    EXACT flags via feature_overrides — the reference supports arbitrary
+    combinations additively (roman_registration.py:55-70), so no
+    combination is silently coerced."""
     flags = (p.gravity, p.volume, p.extent, p.pca, p.semantics_dim > 0)
     table = {
         (True, True, False, True, True): "roman",
@@ -73,6 +77,8 @@ class ROMANRegistration(ObjectRegistration):
                   else str(params.fusion_method))
         cfg = RegistrationConfig(
             method=_method_for(params),
+            feature_overrides=(params.gravity, params.volume, params.extent,
+                               params.pca, params.semantics_dim > 0),
             dim=params.point_dim,
             fusion=fusion,
             sigma=params.sigma,

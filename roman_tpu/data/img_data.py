@@ -91,9 +91,19 @@ class ImgData:
             dt_, darr = rosbag.read_images(path, depth_topic)
             if darr.dtype != np.float32:
                 darr = darr.astype(np.float32) / depth_scale
-            # match each color frame to the nearest depth frame
+            # match each color frame to the nearest depth frame, but
+            # only within a time tolerance (the frame period, min 50 ms)
+            # — robotdatapy applies a tolerance; silently pairing with a
+            # far-away depth frame corrupts geometry
             idx = np.argmin(np.abs(dt_[None, :] - times[:, None]), axis=1)
+            dt_err = np.abs(dt_[idx] - times)
+            period = (np.median(np.diff(times)) if len(times) > 1 else 0.05)
+            tol = max(float(period), 0.05)
             depths = darr[idx]
+            bad = dt_err > tol
+            if np.any(bad):
+                depths = depths.copy()
+                depths[bad] = 0.0  # zero depth == no measurement
         return cls(times=times, images=images, depths=depths)
 
     @classmethod

@@ -89,6 +89,14 @@ class PoseData:
                 pcols = [idx[c] for c in names["position"]]
                 qcols = [idx[c] for c in names["orientation"]]
                 skip = 1
+            elif first.strip() and not first.lstrip().startswith("#"):
+                # named columns requested but not all present: still skip
+                # a non-numeric header line so np.loadtxt doesn't crash
+                # on it in the col_nums fallback
+                try:
+                    float(first.strip().split("," if delim else None)[0])
+                except ValueError:
+                    skip = 1
         data = np.loadtxt(path, delimiter=delim, comments=None if skip else "#",
                           skiprows=skip)
         t = data[:, tcol] * ts

@@ -6,9 +6,11 @@
 // (distance consistency with gravity-slack vertical split x shape-ratio
 // x clamped cosine, geometric-mean fusion, single-association diagonal),
 // projected power-iteration with penalty homotopy on the one-to-one
-// constraint, omega rounding. Identical math + iteration counts to the
-// batched TPU engine and to the numpy fallback in bench.py, so the
-// throughput ratio is apples-to-apples.
+// constraint, omega rounding. Identical math to the batched TPU engine
+// and to the numpy fallback in bench.py. The iteration budget here is
+// the FIXED reference budget (warmup 10, outer 12, inner 10) by design:
+// the baseline is the quality referee and must not move when the
+// engine's tuned budget (ClipperSolveParams) changes.
 //
 // The one-to-one constraint matvec uses the rank structure
 // (rowsum + colsum - 2u) rather than a dense C matrix — this makes the
@@ -72,7 +74,7 @@ int clipper_ref_solve(const double* c1, const double* r1, const double* d1,
         all_pos = all_pos && (rho > 0.0);
         log_sum += std::log(std::max(rho, 1e-20));
       }
-      sr[idx] = all_pos ? std::exp(log_sum / rdim) : 0.0;
+      sr[idx] = (rdim == 0) ? 1.0 : (all_pos ? std::exp(log_sum / rdim) : 0.0);
       double cos = 0.0;
       for (int k = 0; k < ddim; ++k)
         cos += d1[(size_t)a * ddim + k] * d2[(size_t)b * ddim + k];

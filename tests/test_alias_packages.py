@@ -123,7 +123,9 @@ def test_align_layer_aliases():
     with np.testing.assert_raises(InsufficientAssociationsException):
         ObjectRegistration().T_align([], map2)
 
-    prune = DistRegWithPruning(cos_min=0.5, epsilon_shape=0.5)
+    # positional sigma/epsilon + reference kwarg names
+    # (dist_reg_with_pruning.py:17-18)
+    prune = DistRegWithPruning(0.3, 0.5, cos_min=0.5, shape_epsilon=0.5)
     Ap = prune.register(map1, map2)
     assert len(Ap) >= 4 and all(i == j for i, j in Ap)
     Tp = prune.T_align(map1, map2, Ap)
