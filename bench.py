@@ -49,7 +49,10 @@ def build_workload(seed=0, n_objects=1000, traj_len=240.0, desc_dim=768,
     maps = [world.roman_map_from_run(r) for r in runs]
     params = SubmapParams(max_size=max_size, radius=15.0, distance=10.0)
     submaps = [submaps_from_roman_map(m, params) for m in maps]
-    cfg = RegistrationConfig(method="roman", cos_min=0.5, cos_max=0.9)
+    # use_pallas pinned False: the bench measures the XLA and pallas
+    # engines separately (production default is auto = pallas-on-TPU)
+    cfg = RegistrationConfig(method="roman", cos_min=0.5, cos_max=0.9,
+                             use_pallas=False)
     feats, auxs = zip(*[
         submaps_to_features(sm, cfg, capacity=max_size, desc_dim=desc_dim)
         for sm in submaps

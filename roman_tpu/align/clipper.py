@@ -215,27 +215,46 @@ def round_greedy(u: jax.Array, omega: jax.Array, max_steps: int,
 
 
 def refine_selection(M4: jax.Array, sel: jax.Array, iters: int = 6,
-                     min_support: float = 0.22, rel_support: float = 0.5):
+                     min_support: float = 0.22, rel_support: float = 0.5,
+                     edge_eps: float = 1e-4):
     """4D-affinity entry point; see refine_selection_2d."""
     return refine_selection_2d(prepare_matrix(M4), sel, iters, min_support,
-                               rel_support)
+                               rel_support, edge_eps)
 
 
 def refine_selection_2d(M: jax.Array, sel: jax.Array, iters: int = 6,
-                        min_support: float = 0.22, rel_support: float = 0.5):
+                        min_support: float = 0.22, rel_support: float = 0.5,
+                        edge_eps: float = 1e-4):
     """Iteratively trim a rounded selection to a consistent clique.
 
-    Per selected association, support = mean affinity to the other
-    selected associations. Nodes fall below max(rel * mean-support,
-    min_support) and are dropped; repeated to a fixpoint. min_support is
-    absolute and meaningful because the invariant's pairwise scores live
-    in [0, 1] with the epsilon gate at exp(-0.5 (eps/sigma)^2). This
-    guards the relative rounding threshold against diffuse eigenvectors on
-    match-free pairs (which otherwise round to large spurious sets).
+    Two rules per iteration:
+
+    1. Support floor: per selected association, support = mean affinity
+       to the other selected associations. Nodes falling below
+       max(rel * mean-support, min_support) are dropped. min_support is
+       absolute and meaningful because the invariant's pairwise scores
+       live in [0, 1] with the epsilon gate at exp(-0.5 (eps/sigma)^2).
+       This guards the relative rounding threshold against diffuse
+       eigenvectors on match-free pairs (which otherwise round to large
+       spurious sets).
+
+    2. Clique enforcement: a selected association with a ZERO edge
+       (affinity <= edge_eps) to another selected association is not in
+       the clique — the epsilon gate zeroed their pairwise consistency.
+       The lowest-support such violator is dropped (one per iteration;
+       dropping all violators at once could remove both endpoints of a
+       single bad edge). Genuine cliques have all-positive edges, so
+       recall is unaffected; without this rule the relative rounding
+       threshold can admit a 4th near-threshold association that pushes
+       a wrong pair over the reference's >=4-association LC acceptance
+       (results.py:159), costing precision vs the serial top-omega
+       referee (the round-2 0.984-vs-1.000 bench gap).
     """
     batch = sel.shape[:-2]
     n, m = sel.shape[-2], sel.shape[-1]
     N = n * m
+    eye = jnp.eye(N, dtype=bool)
+    idxs = jnp.arange(N)
 
     def body(v, _):
         k = jnp.sum(v, axis=-1, keepdims=True)
@@ -244,7 +263,19 @@ def refine_selection_2d(M: jax.Array, sel: jax.Array, iters: int = 6,
         supp = mv / jnp.maximum(k - 1.0, 1.0)
         mean_supp = jnp.sum(supp * v, axis=-1, keepdims=True) / jnp.maximum(k, 1.0)
         keep = supp >= jnp.maximum(rel_support * mean_supp, min_support)
-        return v * keep, None
+        # clique enforcement: count zero edges to other selected nodes
+        selected = v > 0.5
+        zedge = ((M.astype(jnp.float32) <= edge_eps)
+                 & selected[..., None, :] & ~eye)
+        zc = jnp.sum(zedge, axis=-1)
+        viol = selected & (zc > 0)
+        any_viol = jnp.any(viol, axis=-1, keepdims=True)
+        score = jnp.where(viol, supp, jnp.inf)
+        worst = jnp.min(jnp.where(score <= jnp.min(score, axis=-1,
+                                                   keepdims=True),
+                                  idxs, N), axis=-1, keepdims=True)
+        drop = (idxs == worst) & any_viol
+        return v * keep * (1.0 - drop.astype(v.dtype)), None
 
     v0 = sel.reshape(batch + (N,)).astype(jnp.float32)
     v, _ = jax.lax.scan(body, v0, None, length=iters)

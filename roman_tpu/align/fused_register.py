@@ -71,13 +71,14 @@ class FusedInvariantStatics:
     refine_iters: int = 6
     min_support: float = 0.22
     rel_support: float = 0.5
+    edge_eps: float = 1e-4
     max_clique: int = 64
 
 
 def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
             c2_ref, c2t_ref, r2_ref, r2t_ref, d2_ref, d2t_ref,
             valid_ref, validt_ref, row_ref, rowt_ref, col_ref, colt_ref,
-            sel_out, count_out, u_out, f_out, m_scratch,
+            sel_out, count_out, u_out, f_out, m_scratch, mask_scratch,
             *, n: int, m: int, K: int, inv: FusedInvariantStatics,
             params: ClipperSolveParams):
     N = n * m
@@ -342,6 +343,10 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
     _, _, sel, _ = jax.lax.fori_loop(0, max_steps, round_body, init)
 
     # ============ support refinement (clipper.refine_selection_2d) =========
+    iaN = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    jaN = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    nondiag = iaN != jaN
+
     def refine_body(_, v):
         kk = jnp.sum(v, axis=-1, keepdims=True)
         mv = matvec(v)
@@ -350,7 +355,27 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
             kk, 1.0)
         keep = supp >= jnp.maximum(inv.rel_support * mean_supp,
                                    inv.min_support)
-        return v * keep
+        # clique enforcement (refine_selection_2d rule 2): count zero
+        # edges to other selected nodes via a masked matvec — the 0/1
+        # zero-edge mask is a computed bf16 matrix, so it is staged
+        # through VMEM scratch before the MXU reads it (M is symmetric,
+        # so v @ mask gives the per-node count directly)
+        zcs = []
+        for k in range(K):
+            zmask = (m_scratch[k] <= inv.edge_eps) & nondiag
+            mask_scratch[...] = jnp.where(zmask, 1.0, 0.0).astype(jnp.bfloat16)
+            zcs.append(jnp.dot(v[k:k + 1].astype(jnp.bfloat16),
+                               mask_scratch[...],
+                               preferred_element_type=jnp.float32))
+        zc = jnp.concatenate(zcs, axis=0)                      # (K, N)
+        viol = (v > 0.5) & (zc > 0.5)
+        any_viol = jnp.any(viol, axis=-1, keepdims=True)
+        score = jnp.where(viol, supp, jnp.inf)
+        mn = jnp.min(score, axis=-1, keepdims=True)
+        worst = jnp.min(jnp.where(score <= mn, idxs, N), axis=-1,
+                        keepdims=True)
+        drop = ((idxs == worst) & any_viol).astype(jnp.float32)
+        return v * keep * (1.0 - drop)
 
     sel = jax.lax.fori_loop(0, inv.refine_iters, refine_body, sel)
     count = jnp.sum((sel > 0.5).astype(jnp.float32), axis=-1, keepdims=True)
@@ -420,7 +445,8 @@ def _fused_flat(c1, r1, d1, c2, r2, d2, valid, n: int, m: int,
         grid=(n_steps,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((K, N, N), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((K, N, N), jnp.bfloat16),
+                        pltpu.VMEM((N, N), jnp.bfloat16)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,

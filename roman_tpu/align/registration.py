@@ -63,7 +63,12 @@ class RegistrationConfig:
     # combinations like the reference's additive ratio_feature_dim
     # (roman_registration.py:55-70)
     feature_overrides: Optional[tuple] = None
-    use_pallas: bool = False  # fused VMEM-resident pallas register kernel
+    # fused VMEM-resident pallas register kernel. None = auto: enabled on
+    # TPU backends (where it is ~2x the XLA path), disabled elsewhere.
+    # PairGridRegistrar additionally falls back to the XLA path at
+    # dispatch time if the kernel fails to compile (e.g. VMEM overflow
+    # at large submap capacity).
+    use_pallas: Optional[bool] = None
     pallas_pairs_per_step: int = 4  # pairs per kernel grid step (v5e sweep:
     # K=2 1481, K=4 1685, K=5 1689, K=6 1589 pairs/s; 8 overflows VMEM)
     pallas_interpret: bool = False  # pallas interpret mode (CPU testing)
@@ -100,6 +105,15 @@ class RegistrationConfig:
             return (False, False, False)
         gravity, volume, extent, pca, semantics = self.feature_flags
         return (gravity, volume or extent or pca, semantics)
+
+    def pallas_enabled(self) -> bool:
+        """Resolve use_pallas=None (auto) against the active backend."""
+        if self.use_pallas is not None:
+            return self.use_pallas
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
 
     def invariant_params(self, n_ratio_feats: int) -> ROMANInvariantParams:
         gravity, use_ratio, use_cosine = self.solve_flags
@@ -194,7 +208,7 @@ def register_clipper(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationCo
     runs as one VMEM-resident pallas kernel (fused_register.py) — the
     (N, N) affinity never touches HBM. Geometric-mean fusion only; other
     fusion modes fall back to the XLA path."""
-    if cfg.use_pallas and cfg.fusion == "geometric_mean":
+    if cfg.pallas_enabled() and cfg.fusion == "geometric_mean":
         from roman_tpu.align import fused_register as fr
 
         gravity, use_ratio, use_cosine = cfg.solve_flags
@@ -226,7 +240,7 @@ def register_clipper(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationCo
         M4 = jnp.where(keep, M4, 0.0)
     max_clique = min(cfg.max_clique, min(f1.capacity, f2.capacity))
     sel, count, u, F = clipper_mod.solve_and_round(
-        M4, valid, max_clique, cfg.solver, use_pallas=cfg.use_pallas)
+        M4, valid, max_clique, cfg.solver, use_pallas=cfg.pallas_enabled())
     T = _t_align_from_selection(f1, f2, sel)
     ok = count >= cfg.dim
     return RegistrationResult(sel=sel, count=count, T_align=T, ok=ok, u=u, score=F)

@@ -115,6 +115,19 @@ class PairGridRegistrar:
             res = reg.register_clipper(f1, f2, cfg)
         return res
 
+    def _fallback_to_xla(self, err):
+        """Drop the pallas fast path for this registrar (e.g. Mosaic
+        VMEM overflow at large submap capacity) and recompile on the
+        plain-XLA engine. Quality is unaffected — the two paths are
+        bit-equal (test_fused_register.py)."""
+        import dataclasses
+
+        print(f"# PairGridRegistrar: pallas path failed "
+              f"({type(err).__name__}); falling back to XLA engine",
+              flush=True)
+        self.cfg = dataclasses.replace(self.cfg, use_pallas=False)
+        self._jitted = {}
+
     def _get_jitted(self, sig):
         """One compiled program processing ALL chunks: lax.map over the
         chunk axis keeps peak memory at one chunk while giving a single
@@ -183,16 +196,22 @@ class PairGridRegistrar:
         key = jax.random.PRNGKey(seed)
 
         if timed:
-            fn = self._get_jitted((C, 1))
             chunks = []
             times = np.zeros(total)
             for c in range(n_chunks):
                 t0 = time.perf_counter()
-                r = fn(feats1, feats2, jnp.asarray(ids1_all),
-                       jnp.asarray(ids2_all),
-                       jnp.asarray(idx_i[c * C:(c + 1) * C].reshape(1, C)),
-                       jnp.asarray(idx_j[c * C:(c + 1) * C].reshape(1, C)),
-                       key)
+                args = (feats1, feats2, jnp.asarray(ids1_all),
+                        jnp.asarray(ids2_all),
+                        jnp.asarray(idx_i[c * C:(c + 1) * C].reshape(1, C)),
+                        jnp.asarray(idx_j[c * C:(c + 1) * C].reshape(1, C)),
+                        key)
+                try:
+                    r = self._get_jitted((C, 1))(*args)
+                except Exception as e:
+                    if not self.cfg.pallas_enabled():
+                        raise
+                    self._fallback_to_xla(e)
+                    r = self._get_jitted((C, 1))(*args)
                 r = jax.tree.map(np.asarray, r.replace(u=None))
                 dt = time.perf_counter() - t0
                 times[c * C:(c + 1) * C] = dt / C
@@ -203,10 +222,16 @@ class PairGridRegistrar:
                 lambda x: x.reshape((total,) + x.shape[2:])[:P], res)
             return res, times[:P]
 
-        fn = self._get_jitted((C, n_chunks))
-        res = fn(feats1, feats2, jnp.asarray(ids1_all), jnp.asarray(ids2_all),
-                 jnp.asarray(idx_i.reshape(n_chunks, C)),
-                 jnp.asarray(idx_j.reshape(n_chunks, C)), key)
+        args = (feats1, feats2, jnp.asarray(ids1_all), jnp.asarray(ids2_all),
+                jnp.asarray(idx_i.reshape(n_chunks, C)),
+                jnp.asarray(idx_j.reshape(n_chunks, C)), key)
+        try:
+            res = self._get_jitted((C, n_chunks))(*args)
+        except Exception as e:
+            if not self.cfg.pallas_enabled():
+                raise
+            self._fallback_to_xla(e)
+            res = self._get_jitted((C, n_chunks))(*args)
         # drop the (P, n, m) solver certificate before fetching — fetch
         # latency is per-array on this deployment and u is debug-only
         res = res.replace(u=None)

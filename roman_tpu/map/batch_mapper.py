@@ -11,11 +11,14 @@ pairwise merging — with no host round trips during a run (state arrays
 stay on device; the map is fetched once at export).
 
 Semantics follow Mapper/MapperParams (GNN thresholds, min_sightings,
-max_t_no_sightings, merge-by-similarity); geometry maintenance is
-simplified relative to the host mapper (no statistical outlier removal or
-DBSCAN retirement pass — the voxel downsample bounds noise instead), so
-the two mappers agree on map content but not bit-for-bit on point sets.
-The host Mapper remains the reference implementation.
+max_t_no_sightings, merge-to-fixpoint as a bounded while_loop per frame,
+DBSCAN-equivalent largest-cluster retirement cleanup applied batched in
+the export program). Remaining divergence from the host mapper: no
+per-insert statistical outlier removal (the voxel downsample bounds
+noise instead), so the two mappers agree on map content but not
+bit-for-bit on point sets. The host Mapper remains the reference
+implementation; test_batch_mapper.py checks host/device agreement on
+clean AND noisy worlds.
 
 Sizing rule: max_points_per_segment must cover an object's occupied voxel
 count at segment_voxel_size — on overflow, voxel_downsample keeps a
@@ -40,6 +43,7 @@ from roman_tpu.data.camera import CameraParams
 from roman_tpu.map.roman_map import RomanMap, SegmentData
 from roman_tpu.ops.geometry import obb_volume_extent, shape_attributes
 from roman_tpu.ops.hungarian import auction_assignment
+from roman_tpu.ops.pointcloud import largest_cluster_mask
 from roman_tpu.ops.voxel import voxel_downsample, voxel_iou_cross
 from roman_tpu.params.mapper_params import MapperParams
 
@@ -225,41 +229,69 @@ class BatchMapper:
             seg_id = state.seg_id.at[tgt].set(
                 jnp.where(can_place, new_ids, -1), mode="drop")
 
-            # ---- merge: highest-IOU overlapping live pair per frame ----
-            live2 = (status == NURSERY) | (status == ACTIVE)
-            pair_iou = voxel_iou_cross(
-                points, points_valid, points, points_valid, vs_iou,
-                iom_as_iou=iom)
-            upper = jnp.triu(jnp.ones((S, S), bool), 1)
-            mergeable = upper & live2[:, None] & live2[None, :] & (pair_iou >= geo_lo)
-            flat = jnp.where(mergeable, pair_iou, -1.0).reshape(-1)
-            best = jnp.argmax(flat)
-            do_merge = flat[best] > 0
-            a, b = best // S, best % S
-            # merge b into a (a < b by triu): concatenate + downsample
-            mpts = jnp.concatenate([points[a], points[b]], axis=0)
-            mval = jnp.concatenate([points_valid[a] & do_merge,
-                                    points_valid[b] & do_merge], axis=0)
-            md_pts, md_val = voxel_downsample(mpts, mval, vs_seg, capacity=P)
-            points = points.at[a].set(jnp.where(do_merge, md_pts, points[a]))
-            points_valid = points_valid.at[a].set(
-                jnp.where(do_merge, md_val, points_valid[a]))
-            wa = desc_count[a]
-            wb = desc_count[b]
-            mdesc = (desc[a] * wa + desc[b] * wb) / jnp.maximum(wa + wb, 1.0)
-            mdesc = mdesc / jnp.maximum(jnp.linalg.norm(mdesc), 1e-9)
-            desc = desc.at[a].set(jnp.where(do_merge, mdesc, desc[a]))
-            desc_count = desc_count.at[a].add(jnp.where(do_merge, wb, 0.0))
-            num_sightings = num_sightings.at[a].add(
-                jnp.where(do_merge, num_sightings[b], 0))
-            first_seen = first_seen.at[a].min(
-                jnp.where(do_merge, first_seen[b], jnp.inf))
-            last_seen = last_seen.at[a].max(
-                jnp.where(do_merge, last_seen[b], -jnp.inf))
-            seg_id = seg_id.at[a].set(
-                jnp.where(do_merge, jnp.minimum(seg_id[a], seg_id[b]), seg_id[a]))
-            status = status.at[b].set(jnp.where(do_merge, EMPTY, status[b]))
-            seg_id = seg_id.at[b].set(jnp.where(do_merge, -1, seg_id[b]))
+            # ---- merge to fixpoint (reference mapper.py:251-314 restarts
+            # its O(n^2) merge scan after every edit until none fires).
+            # Batched equivalent: repeat "merge the highest-IOU live pair"
+            # until no pair clears the threshold, as a bounded
+            # lax.while_loop — each iteration recomputes the pair IOU on
+            # the merged pools, so chained merges (a<-b then a<-c)
+            # resolve within one frame like the reference.
+            def merge_once(carry):
+                (points, points_valid, desc, desc_count, num_sightings,
+                 first_seen, last_seen, seg_id, status, n_merges) = carry
+                live2 = (status == NURSERY) | (status == ACTIVE)
+                pair_iou = voxel_iou_cross(
+                    points, points_valid, points, points_valid, vs_iou,
+                    iom_as_iou=iom)
+                upper = jnp.triu(jnp.ones((S, S), bool), 1)
+                mergeable = (upper & live2[:, None] & live2[None, :]
+                             & (pair_iou >= geo_lo))
+                flat = jnp.where(mergeable, pair_iou, -1.0).reshape(-1)
+                best = jnp.argmax(flat)
+                do_merge = flat[best] > 0
+                a, b = best // S, best % S
+                # merge b into a (a < b by triu): concatenate + downsample
+                mpts = jnp.concatenate([points[a], points[b]], axis=0)
+                mval = jnp.concatenate([points_valid[a] & do_merge,
+                                        points_valid[b] & do_merge], axis=0)
+                md_pts, md_val = voxel_downsample(mpts, mval, vs_seg,
+                                                  capacity=P)
+                points = points.at[a].set(
+                    jnp.where(do_merge, md_pts, points[a]))
+                points_valid = points_valid.at[a].set(
+                    jnp.where(do_merge, md_val, points_valid[a]))
+                wa = desc_count[a]
+                wb = desc_count[b]
+                mdesc = (desc[a] * wa + desc[b] * wb) / jnp.maximum(wa + wb, 1.0)
+                mdesc = mdesc / jnp.maximum(jnp.linalg.norm(mdesc), 1e-9)
+                desc = desc.at[a].set(jnp.where(do_merge, mdesc, desc[a]))
+                desc_count = desc_count.at[a].add(jnp.where(do_merge, wb, 0.0))
+                num_sightings = num_sightings.at[a].add(
+                    jnp.where(do_merge, num_sightings[b], 0))
+                first_seen = first_seen.at[a].min(
+                    jnp.where(do_merge, first_seen[b], jnp.inf))
+                last_seen = last_seen.at[a].max(
+                    jnp.where(do_merge, last_seen[b], -jnp.inf))
+                seg_id = seg_id.at[a].set(
+                    jnp.where(do_merge, jnp.minimum(seg_id[a], seg_id[b]),
+                              seg_id[a]))
+                status = status.at[b].set(
+                    jnp.where(do_merge, EMPTY, status[b]))
+                seg_id = seg_id.at[b].set(jnp.where(do_merge, -1, seg_id[b]))
+                n_merges = jnp.where(do_merge, n_merges + 1, -1)
+                return (points, points_valid, desc, desc_count,
+                        num_sightings, first_seen, last_seen, seg_id,
+                        status, n_merges)
+
+            max_merges = p.max_merges_per_frame
+            carry = (points, points_valid, desc, desc_count, num_sightings,
+                     first_seen, last_seen, seg_id, status,
+                     jnp.zeros((), jnp.int32))
+            carry = jax.lax.while_loop(
+                lambda c: (c[-1] >= 0) & (c[-1] < max_merges),
+                merge_once, carry)
+            (points, points_valid, desc, desc_count, num_sightings,
+             first_seen, last_seen, seg_id, status, _) = carry
 
             return MapState(
                 points=points, points_valid=points_valid, descriptors=desc,
@@ -389,8 +421,20 @@ class BatchMapper:
         for the geometry pass costs ~15 transfers at ~1 s each through
         the tunnel (CLAUDE.md: single fetch per result field)."""
         if getattr(self, "_export_fn", None) is None:
+            eps = self.params.clustering_epsilon
+
             @jax.jit
             def export(state: MapState):
+                # retirement cleanup (reference mapper.py:101 /
+                # segment.py:195-220): DBSCAN-equivalent largest-cluster
+                # filter per segment. Retired segments are never updated
+                # again in the reference, so applying the filter once at
+                # export is semantically equivalent to applying it at the
+                # retirement transition — and it runs batched over all
+                # segments in the one export program.
+                keep = largest_cluster_mask(
+                    state.points, state.points_valid, eps=eps)
+                state = state.replace(points_valid=keep)
                 vol, extent = obb_volume_extent(state.points, state.points_valid)
                 attrs = shape_attributes(state.points, state.points_valid)
                 f32 = jnp.concatenate([

@@ -49,6 +49,64 @@ def statistical_outlier_mask(
     return mask & (mean_d <= thresh[..., None])
 
 
+def largest_cluster_mask(
+    points: jax.Array, mask: jax.Array, eps: float = 0.25,
+    min_points: int = 10
+) -> jax.Array:
+    """Device DBSCAN-equivalent largest-cluster keep-mask (reference
+    final_cleanup, segment.py:195-220), static-shape and batched over
+    leading dims — usable inside jit (e.g. the BatchMapper export
+    program's retirement cleanup).
+
+    Semantics match sklearn DBSCAN + keep-largest: core points have
+    >= min_points neighbors within eps (self included), clusters are
+    connected components of the core-core eps graph (transitive closure
+    by log2(P) boolean matmul squarings), border points attach to the
+    minimum-label core within eps, noise is dropped. If no cluster
+    exists, all points are kept (matching largest_cluster_mask_np).
+
+    points (..., P, 3), mask (..., P) -> keep (..., P) subset of mask.
+    """
+    P = points.shape[-2]
+    d2 = jnp.sum(
+        (points[..., :, None, :] - points[..., None, :, :]) ** 2, axis=-1
+    )
+    pair_ok = mask[..., :, None] & mask[..., None, :]
+    within = pair_ok & (d2 <= eps * eps)  # includes self (d2=0)
+    n_nbr = jnp.sum(within, axis=-1)
+    core = mask & (n_nbr >= min_points)
+
+    # connected components over the core-core graph: transitive closure
+    # via repeated squaring of the (float) adjacency on the MXU
+    adj = (within & core[..., :, None] & core[..., None, :]).astype(
+        jnp.float32)
+    n_sq = max(int(np.ceil(np.log2(max(P, 2)))), 1)
+    for _ in range(n_sq):
+        adj = jnp.minimum(
+            adj + jnp.einsum("...ik,...kj->...ij", adj, adj), 1.0)
+    reach = adj > 0.5
+
+    idx = jnp.arange(P)
+    big = jnp.asarray(P, jnp.int32)
+    # core label = min reachable core index; border label = min label of
+    # any core within eps; noise = big sentinel
+    core_label = jnp.min(jnp.where(reach, idx[None, :], big), axis=-1)
+    core_label = jnp.where(core, core_label, big)
+    border_label = jnp.min(
+        jnp.where(within & core[..., None, :], core_label[..., None, :], big),
+        axis=-1,
+    )
+    label = jnp.where(core, core_label, jnp.where(mask, border_label, big))
+
+    # cluster sizes via one-hot reduction; keep the largest
+    member = (label[..., :, None] == idx[None, :]) & (label < P)[..., :, None]
+    counts = jnp.sum(member, axis=-2)  # (..., P) size of cluster rooted at idx
+    best = jnp.argmax(counts, axis=-1)
+    any_cluster = jnp.max(counts, axis=-1) > 0
+    keep = label == best[..., None]
+    return mask & jnp.where(any_cluster[..., None], keep, True)
+
+
 def largest_cluster_mask_np(
     points: np.ndarray, eps: float = 0.25, min_points: int = 10
 ) -> np.ndarray:

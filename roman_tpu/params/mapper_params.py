@@ -44,6 +44,10 @@ class MapperParams:
     # TPU batching capacities (static shapes; not in the reference schema)
     max_segments: int = 256
     max_points_per_segment: int = 256
+    # bound on the device mapper's per-frame merge-to-fixpoint loop
+    # (reference mapper.py:251-314 restarts until no merge fires; a few
+    # chained merges per frame is the practical ceiling)
+    max_merges_per_frame: int = 8
     # "host" = reference-semantics python Mapper; "device" = BatchMapper
     # (device-resident pools, one dispatch per frame batch)
     mapper_backend: str = "host"

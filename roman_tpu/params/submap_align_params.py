@@ -48,7 +48,9 @@ class SubmapAlignParams:
     gravity_unc_ang_rad: float = 0.0872665
 
     # TPU engine knobs (no reference equivalent)
-    use_pallas: bool = False  # fused VMEM-resident register kernel
+    # None = auto: fused VMEM-resident register kernel on TPU backends,
+    # XLA path elsewhere (with dispatch-time fallback on kernel failure)
+    use_pallas: Optional[bool] = None
     pallas_pairs_per_step: int = 4
     per_pair_timing: bool = False  # chunk-timed dispatch for timing_list
 

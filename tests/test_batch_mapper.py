@@ -120,6 +120,117 @@ def test_device_mapper_agrees_with_host(rng):
         3, 0.4 * len(host_centers))
 
 
+def test_merge_to_fixpoint_chained(rng):
+    """Three segments forming an overlap chain a~b~c must collapse into
+    ONE segment within a single frame — the reference restarts its merge
+    scan after every edit (mapper.py:251-314); the device mapper's
+    bounded while_loop must do the same, not stop after one merge."""
+    # iom: a blob contained in a larger merged segment scores ~1
+    # regardless of the size ratio, so the chain a~b~c is expressible
+    # (plain IOU of a small blob vs the growing union shrinks below any
+    # threshold as the union grows — the reference's merge similarity
+    # supports iom for exactly this, mapper.py:182-212)
+    params = MapperParams(min_sightings=1, max_t_no_sightings=10.0,
+                          geometric_score_range=(0.15, 1.0),
+                          geometric_association_method="iom",
+                          iou_voxel_size=0.25, segment_voxel_size=0.1,
+                          max_segments=16, max_points_per_segment=512)
+    m = BatchMapper(params, CameraParams.simple(), desc_dim=4, obs_capacity=8)
+    pose = np.eye(4)
+    # frame 1: three observations of well-separated spots -> 3 segments
+    # (point counts sized so the merged cloud fits the 512-point pool —
+    # capacity truncation would otherwise clip the downsampled union and
+    # break the overlap chain)
+    spots = [np.array([2.0, y, 1.0]) for y in (-1.2, 0.0, 1.2)]
+    m.update(0.0, pose, [make_obs(rng, c, pose, 0.0, n=80, scale=0.15)
+                         for c in spots])
+    assert int((np.asarray(m.state.status) > 0).sum()) == 3
+    # frame 2: one wide observation overlapping ALL three -> after the
+    # in-frame merge-to-fixpoint, exactly one live segment remains
+    wide = np.concatenate([
+        c + rng.normal(size=(80, 3)) * 0.15 for c in spots
+    ] + [np.stack([np.full(60, 2.0),
+                   np.linspace(-1.2, 1.2, 60),
+                   np.full(60, 1.0)], axis=1)])
+    from roman_tpu.map.observation import Observation
+    m.update(0.1, pose, [Observation(time=0.1, pose=pose, point_cloud=wide)])
+    live = int((np.asarray(m.state.status) > 0).sum())
+    assert live == 1, f"expected 1 live segment after chained merge, got {live}"
+
+
+def test_export_retirement_cleanup_drops_stragglers(rng):
+    """The export program's DBSCAN-equivalent cleanup (reference
+    mapper.py:101, segment.py:195-220) removes far-away straggler points
+    so they do not corrupt the exported center/volume."""
+    params = MapperParams(min_sightings=1, max_t_no_sightings=10.0,
+                          geometric_score_range=(0.15, 1.0),
+                          clustering_epsilon=0.25,
+                          max_segments=8, max_points_per_segment=128)
+    m = BatchMapper(params, CameraParams.simple(), desc_dim=4, obs_capacity=4)
+    pose = np.eye(4)
+    c = np.array([3.0, 0.0, 1.0])
+    pts_w = np.concatenate([
+        c + rng.normal(size=(100, 3)) * 0.08,
+        c + np.array([8.0, 8.0, 0.0]) + rng.normal(size=(5, 3)) * 0.05,
+    ])
+    from roman_tpu.map.observation import Observation
+    m.update(0.0, pose, [Observation(time=0.0, pose=pose, point_cloud=pts_w)])
+    rmap = m.get_roman_map()
+    assert len(rmap.segments) == 1
+    # stragglers dropped: center near the true blob, not dragged toward it
+    assert np.linalg.norm(np.asarray(rmap.segments[0].center) - c) < 0.3
+
+
+def test_device_mapper_agrees_with_host_noisy(rng):
+    """Host/device agreement under measurement noise + odometry drift
+    (VERDICT r2 item 3): the same world as the clean test but with point
+    noise on every observation and a drifting pose estimate."""
+    from roman_tpu.data.pose_data import PoseData
+    from roman_tpu.map.run import MapRunner
+    from roman_tpu.params.fastsam_params import FastSAMParams
+
+    source, times, centers = _sim_stream(rng)
+    obs_rng = np.random.default_rng(11)
+
+    def noisy_source(t):
+        pose, obs, fd = source(t)
+        # odometry drift: 1%/m forward + small yaw drift
+        x = pose[0, 3]
+        drift = yaw_T(0.002 * x, np.array([0.01 * x, 0.005 * x, 0.0]))
+        pose_n = drift @ pose
+        obs_n = []
+        for o in obs:
+            pc = np.asarray(o.point_cloud)
+            pc = pc + obs_rng.normal(size=pc.shape) * 0.05
+            obs_n.append(Observation(time=o.time, pose=pose_n,
+                                     point_cloud=pc,
+                                     semantic_descriptor=o.semantic_descriptor))
+        return pose_n, obs_n, fd
+
+    poses = np.stack([noisy_source(t)[0] for t in times])
+    pd = PoseData.from_times_and_poses(times, poses)
+    fp = FastSAMParams(batch_frames=4, max_masks_per_frame=16)
+
+    maps = {}
+    for backend in ("host", "device"):
+        mp = MapperParams(min_sightings=2, max_t_no_sightings=2.0,
+                          geometric_score_range=(0.1, 1.0),
+                          mapper_backend=backend,
+                          max_segments=64, max_points_per_segment=128)
+        runner = MapRunner(mp, fp, CameraParams.simple(), pd,
+                           t0=float(times[0]), tf=float(times[-1]) + 1e-6,
+                           dt=0.5)
+        maps[backend] = runner.run_observations(noisy_source)
+
+    host_centers = np.stack([s.center for s in maps["host"].segments])
+    dev_centers = np.stack([s.center for s in maps["device"].segments])
+    d = np.linalg.norm(host_centers[:, None] - dev_centers[None, :], axis=-1)
+    # noisy world: most host segments still have a device counterpart
+    assert (d.min(axis=1) < 1.0).mean() >= 0.7, d.min(axis=1)
+    assert abs(len(host_centers) - len(dev_centers)) <= max(
+        3, 0.5 * len(host_centers))
+
+
 def test_ensure_desc_dim_widens_pool():
     """Regression: a stream whose first batch has no descriptors created
     the device mapper at the placeholder width, silently truncating all

@@ -122,6 +122,61 @@ def test_largest_cluster(rng):
     assert keep[:50].all() and not keep[50:].any()
 
 
+def test_largest_cluster_device_matches_sklearn(rng):
+    """Device largest_cluster_mask agrees with the sklearn-DBSCAN twin on
+    clustered sets with cores, borders and noise — including padding and
+    the all-noise degenerate case."""
+    for trial in range(6):
+        n_a = 30 + trial
+        a = rng.normal(size=(n_a, 3)) * 0.08
+        b = rng.normal(size=(12, 3)) * 0.08 + 5.0
+        noise = rng.uniform(-20, 20, size=(6, 3))
+        pts = np.concatenate([a, b, noise]).astype(np.float32)
+        perm = rng.permutation(len(pts))
+        pts = pts[perm]
+        P = 64
+        pad = np.zeros((P, 3), np.float32)
+        pad[: len(pts)] = pts
+        pad[len(pts):] = 1e3  # garbage in the padded region
+        mask = np.zeros(P, bool)
+        mask[: len(pts)] = True
+        keep = np.asarray(pointcloud.largest_cluster_mask(
+            jnp.asarray(pad), jnp.asarray(mask), eps=0.5, min_points=5))
+        ref = pointcloud.largest_cluster_mask_np(pts, eps=0.5, min_points=5)
+        np.testing.assert_array_equal(keep[: len(pts)], ref)
+        assert not keep[len(pts):].any()
+
+    # all-noise: both keep everything
+    scatter = (rng.uniform(-50, 50, size=(10, 3))).astype(np.float32)
+    pad = np.zeros((16, 3), np.float32)
+    pad[:10] = scatter
+    mask = np.zeros(16, bool)
+    mask[:10] = True
+    keep = np.asarray(pointcloud.largest_cluster_mask(
+        jnp.asarray(pad), jnp.asarray(mask), eps=0.5, min_points=5))
+    ref = pointcloud.largest_cluster_mask_np(scatter, eps=0.5, min_points=5)
+    np.testing.assert_array_equal(keep[:10], ref)
+
+
+def test_largest_cluster_device_batched(rng):
+    """Batched (leading-dim) call gives per-segment results identical to
+    per-segment calls."""
+    S, P = 4, 48
+    pts = np.zeros((S, P, 3), np.float32)
+    mask = np.zeros((S, P), bool)
+    for s in range(S):
+        n = 20 + 5 * s
+        pts[s, :n] = rng.normal(size=(n, 3)) * 0.1 + s
+        pts[s, n - 3: n] += 8.0  # small far-away blob (noise)
+        mask[s, :n] = True
+    batched = np.asarray(pointcloud.largest_cluster_mask(
+        jnp.asarray(pts), jnp.asarray(mask), eps=0.5, min_points=5))
+    for s in range(S):
+        single = np.asarray(pointcloud.largest_cluster_mask(
+            jnp.asarray(pts[s]), jnp.asarray(mask[s]), eps=0.5, min_points=5))
+        np.testing.assert_array_equal(batched[s], single)
+
+
 def test_chamfer(rng):
     p1 = rng.normal(size=(30, 3))
     p2 = rng.normal(size=(40, 3))
