@@ -1,0 +1,185 @@
+"""Adversarial alignment-quality sweep: engine vs serial referee under
+controlled nuisances (VERDICT r2 item 6).
+
+Sweeps the registration engine and the full-budget serial numpy referee
+(bench._np_solve_pair — the reference-equivalent per-pair CLIPPER) over
+synthetic submap pairs per nuisance level: heavy odometry drift (center
+noise), 180-degree yaw revisits, duplicated/mirror-symmetric object
+layouts, and low-overlap pairs — plus matched no-overlap negatives per
+scenario. Reports LC precision/recall per scenario for both solvers
+(reference evaluator semantics: predicted = >= min_assoc associations;
+correct = T within thresholds — roman/align/evaluate.py:233-288).
+
+Usage:  python adversarial_eval.py [--cpu] [--pairs N] [--md docs/ADVERSARIAL.md]
+Prints one JSON line per scenario and (optionally) writes the markdown
+table quoted in the docs.
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/roman_tpu_jax_cache")
+
+
+SCENARIOS = [
+    # (name, positive-pair kwargs) — negatives reuse the kwargs with the
+    # common block removed
+    ("baseline", dict(center_noise=0.1)),
+    ("drift_0.3m", dict(center_noise=0.3)),
+    ("drift_0.6m", dict(center_noise=0.6)),
+    ("drift_1.0m", dict(center_noise=1.0)),
+    ("yaw_180", dict(center_noise=0.2, yaw=np.pi)),
+    ("duplicates_50pct", dict(center_noise=0.2, dup_frac=0.5)),
+    ("symmetric_layout", dict(center_noise=0.2, symmetric=True)),
+    ("low_overlap", dict(center_noise=0.2, n_common=6,
+                         n_only1=17, n_only2=17)),
+]
+
+
+def build_pairs(rng, kwargs, n_pos, n_neg, capacity, desc_dim):
+    from roman_tpu.sim import world
+
+    base = dict(n_common=14, n_only1=8, n_only2=8, desc_dim=desc_dim)
+    base.update(kwargs)
+    problems = [world.make_pair_problem(rng, **base) for _ in range(n_pos)]
+    neg = dict(base, n_common=0, dup_frac=0.0, symmetric=False)
+    neg["n_only1"] = base["n_common"] + base["n_only1"]
+    neg["n_only2"] = base["n_common"] + base["n_only2"]
+    problems += [world.make_pair_problem(rng, **neg) for _ in range(n_neg)]
+    labels = np.array([1] * n_pos + [0] * n_neg, bool)
+    pads = [world.pad_problem(p, capacity) for p in problems]
+    return problems, pads, labels
+
+
+def engine_solve(pads, cfg):
+    """One batched XLA solve over all pairs of a scenario."""
+    import jax.numpy as jnp
+
+    from roman_tpu.align import registration
+
+    def stack(key):
+        return jnp.asarray(np.stack([p[key] for p in pads]))
+
+    f1 = registration.build_features(
+        stack("centers1"), stack("valid1"), cfg, pca_attrs=stack("pca1"),
+        volume=stack("volume1"), extent=stack("extent1"),
+        descriptors=stack("desc1"))
+    f2 = registration.build_features(
+        stack("centers2"), stack("valid2"), cfg, pca_attrs=stack("pca2"),
+        volume=stack("volume2"), extent=stack("extent2"),
+        descriptors=stack("desc2"))
+    res = registration.register_clipper(f1, f2, cfg)
+    return (np.asarray(res.count), np.asarray(res.T_align),
+            np.asarray(res.ok))
+
+
+def referee_solve(problems, cfg):
+    import bench
+
+    counts, Ts = [], []
+    for p in problems:
+        r1 = np.concatenate([p.pca1, p.volume1[:, None]], axis=1)
+        r2 = np.concatenate([p.pca2, p.volume2[:, None]], axis=1)
+        sel, T = bench._np_solve_pair(p.centers1, r1, p.desc1,
+                                      p.centers2, r2, p.desc2, cfg)
+        counts.append(len(sel))
+        Ts.append(T if T is not None else np.eye(4))
+    return np.asarray(counts), np.stack(Ts)
+
+
+def lc_metrics(counts, Ts, problems, labels, min_assoc=4,
+               dist_thresh=3.0, angle_thresh_deg=10.0):
+    from roman_tpu.ops import se3_np
+
+    tp = fp = fn = 0
+    for k, p in enumerate(problems):
+        predicted = counts[k] >= min_assoc
+        good = False
+        if predicted and np.isfinite(Ts[k]).all():
+            T_hat = se3_np.transform_rm_roll_pitch(Ts[k])
+            err = np.linalg.inv(T_hat) @ p.T_gt
+            good = (np.linalg.norm(err[:3, 3]) < dist_thresh
+                    and np.degrees(se3_np.rotation_magnitude(err[:3, :3]))
+                    < angle_thresh_deg)
+        if predicted and labels[k] and good:
+            tp += 1
+        else:
+            if predicted:
+                fp += 1
+            if labels[k]:
+                fn += 1
+    return tp / max(tp + fp, 1), tp / max(tp + fn, 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--pairs", type=int, default=24,
+                    help="positive pairs per scenario (negatives = 2/3)")
+    ap.add_argument("--capacity", type=int, default=40)
+    ap.add_argument("--desc-dim", type=int, default=128)
+    ap.add_argument("--md", type=str, default=None,
+                    help="write the markdown table here")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from roman_tpu.align.registration import RegistrationConfig
+
+    cfg = RegistrationConfig(method="roman", cos_min=0.5, cos_max=0.9,
+                             use_pallas=False)
+    n_pos = args.pairs
+    n_neg = max(args.pairs * 2 // 3, 4)
+    rows = []
+    for name, kwargs in SCENARIOS:
+        rng = np.random.default_rng(args.seed)
+        problems, pads, labels = build_pairs(
+            rng, kwargs, n_pos, n_neg, args.capacity, args.desc_dim)
+        e_counts, e_T, _ = engine_solve(pads, cfg)
+        e_p, e_r = lc_metrics(e_counts, e_T, problems, labels)
+        b_counts, b_T = referee_solve(problems, cfg)
+        b_p, b_r = lc_metrics(b_counts, b_T, problems, labels)
+        row = dict(scenario=name, pairs=int(len(labels)),
+                   engine_precision=round(e_p, 3), engine_recall=round(e_r, 3),
+                   referee_precision=round(b_p, 3),
+                   referee_recall=round(b_r, 3))
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.md:
+        lines = [
+            "# Adversarial alignment-quality sweep",
+            "",
+            "Engine (batched XLA path; pallas is bit-equal) vs the"
+            " full-budget serial numpy referee on synthetic submap pairs"
+            " per nuisance level, with matched no-overlap negatives"
+            f" ({n_pos} positives + {n_neg} negatives per scenario,"
+            f" capacity {args.capacity}, {args.desc_dim}-d descriptors;"
+            " LC = >=4 associations, correct = <3 m / <10 deg vs GT).",
+            "",
+            f"Generated by `python adversarial_eval.py --pairs {args.pairs}"
+            + (" --cpu" if args.cpu else "") + f" --seed {args.seed}`.",
+            "",
+            "| Scenario | Engine P | Engine R | Referee P | Referee R |",
+            "|---|---|---|---|---|",
+        ]
+        for r in rows:
+            lines.append(
+                f"| {r['scenario']} | {r['engine_precision']} |"
+                f" {r['engine_recall']} | {r['referee_precision']} |"
+                f" {r['referee_recall']} |")
+        os.makedirs(os.path.dirname(args.md) or ".", exist_ok=True)
+        with open(args.md, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"# wrote {args.md}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

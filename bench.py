@@ -505,6 +505,12 @@ def main():
                          "measure the reduced budget's cost)")
     ap.add_argument("--pairs-per-step", type=int, default=None,
                     help="override pallas_pairs_per_step (K)")
+    ap.add_argument("--capacity", type=int, default=40,
+                    help="submap capacity (objects per submap; reference "
+                         "SubmapParams.max_size knob, map.py:165-192). "
+                         "Pallas K auto-scales down with capacity; when "
+                         "even K=1 overflows VMEM the registrar falls "
+                         "back to the XLA engine")
     args = ap.parse_args()
 
     if args.profile:
@@ -521,7 +527,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     submaps, feats, auxs, cfg, runs = build_workload(
-        desc_dim=args.desc_dim, n_robots=args.robots)
+        desc_dim=args.desc_dim, n_robots=args.robots,
+        max_size=args.capacity)
     if args.solver_iters or args.pairs_per_step:
         import dataclasses as _dc
 
@@ -542,6 +549,15 @@ def main():
     if not args.no_pallas and not args.cpu:
         import dataclasses as _dc
 
+        # auto-scale pallas K with capacity: VMEM holds ~K+1 bf16
+        # (N, N) matrices (K pair matrices + the shared zero-edge mask)
+        # inside a ~100 MB budget; larger capacities need smaller K, and
+        # when even K=1 overflows, PairGridRegistrar's dispatch-time
+        # fallback lands on the XLA engine
+        if args.pairs_per_step is None:
+            N = args.capacity * args.capacity
+            k_auto = max(int(80e6 // (N * N * 2 + N * N * 2)), 1)
+            cfg = _dc.replace(cfg, pallas_pairs_per_step=min(k_auto, 4))
         cfg_pal = _dc.replace(cfg, use_pallas=True)
         try:
             _, pallas_pps, res_pal, _, _ = run_tpu(
@@ -570,7 +586,7 @@ def main():
         "baseline_engine": base_engine,
         "lc_precision": round(lc_p, 3),
         "lc_recall": round(lc_r, 3),
-        "submap_capacity": 40,
+        "submap_capacity": args.capacity,
         "desc_dim": args.desc_dim,
     }
     if pallas_pps is not None:

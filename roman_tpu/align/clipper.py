@@ -270,7 +270,7 @@ def refine_selection_2d(M: jax.Array, sel: jax.Array, iters: int = 6,
         zc = jnp.sum(zedge, axis=-1)
         viol = selected & (zc > 0)
         any_viol = jnp.any(viol, axis=-1, keepdims=True)
-        score = jnp.where(viol, supp, jnp.inf)
+        score = jnp.where(viol, supp, 1e30)  # matches fused _BIG_SCORE
         worst = jnp.min(jnp.where(score <= jnp.min(score, axis=-1,
                                                    keepdims=True),
                                   idxs, N), axis=-1, keepdims=True)

@@ -50,6 +50,9 @@ from roman_tpu.align.clipper import ClipperSolveParams
 from roman_tpu.align.clipper_pallas import _selectors
 
 _EPS = 1e-9
+# non-violator sentinel in the refine drop rule (finite: Mosaic handles
+# inf constants inconsistently across lowerings); matches clipper.py
+_BIG_SCORE = 1e30
 
 
 @dataclasses.dataclass(frozen=True)
@@ -343,10 +346,6 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
     _, _, sel, _ = jax.lax.fori_loop(0, max_steps, round_body, init)
 
     # ============ support refinement (clipper.refine_selection_2d) =========
-    iaN = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-    jaN = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-    nondiag = iaN != jaN
-
     def refine_body(_, v):
         kk = jnp.sum(v, axis=-1, keepdims=True)
         mv = matvec(v)
@@ -359,18 +358,31 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
         # edges to other selected nodes via a masked matvec — the 0/1
         # zero-edge mask is a computed bf16 matrix, so it is staged
         # through VMEM scratch before the MXU reads it (M is symmetric,
-        # so v @ mask gives the per-node count directly)
+        # so v @ mask gives the per-node count directly). The diagonal
+        # iotas are (re)built INSIDE this loop body: an i1 (N, N) vector
+        # carried across the fori_loop region boundary trips a Mosaic
+        # "invalid relayout" on real hardware.
+        iaN = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        jaN = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        # single select whose on-false branch is a full (N, N) vector:
+        # Mosaic rejects a big-shape select with two scalar branches
+        # ("invalid relayout" of the i1 predicate on real hardware), and
+        # likewise an i1-from-VMEM-data ANDed with an i1-from-iota; this
+        # form (predicate from data, one vector operand from iota) is
+        # the same shape as the build phase's working masks
+        nondiag_f = jnp.where(iaN == jaN, 0.0, jnp.ones((N, N), jnp.float32))
         zcs = []
         for k in range(K):
-            zmask = (m_scratch[k] <= inv.edge_eps) & nondiag
-            mask_scratch[...] = jnp.where(zmask, 1.0, 0.0).astype(jnp.bfloat16)
+            mask = jnp.where(m_scratch[k].astype(jnp.float32)
+                             > inv.edge_eps, 0.0, nondiag_f)
+            mask_scratch[...] = mask.astype(jnp.bfloat16)
             zcs.append(jnp.dot(v[k:k + 1].astype(jnp.bfloat16),
                                mask_scratch[...],
                                preferred_element_type=jnp.float32))
         zc = jnp.concatenate(zcs, axis=0)                      # (K, N)
         viol = (v > 0.5) & (zc > 0.5)
         any_viol = jnp.any(viol, axis=-1, keepdims=True)
-        score = jnp.where(viol, supp, jnp.inf)
+        score = jnp.where(viol, supp, _BIG_SCORE)
         mn = jnp.min(score, axis=-1, keepdims=True)
         worst = jnp.min(jnp.where(score <= mn, idxs, N), axis=-1,
                         keepdims=True)

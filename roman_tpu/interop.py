@@ -128,6 +128,163 @@ def convert_reference_segment(s) -> Optional[SegmentData]:
     )
 
 
+# --------------------------------------------------------------------- #
+# export direction: write pickles loadable by the ACTUAL reference
+# package (the inverse of load_reference_map) — the missing half of the
+# cross-validation bridge for when reference artifacts / installs become
+# available (reference format: roman/map/map.py:18-59 ROMANMap of
+# SegmentMinimalData, roman/align/results.py:18-44 SubmapAlignResults).
+# --------------------------------------------------------------------- #
+
+_EXPORT_MODULES = {
+    "ROMANMap": "roman.map.map",
+    "SegmentMinimalData": "roman.object.segment",
+    "SubmapAlignResults": "roman.align.results",
+    "SubmapAlignParams": "roman.params.submap_align_params",
+    "SubmapAlignInputOutput": "roman.params.submap_align_params",
+}
+
+# TPU-only knobs with no reference schema counterpart — stripped from
+# exported SubmapAlignParams so reference-side readers see a clean schema
+_TPU_ONLY_PARAM_FIELDS = ("use_pallas", "pallas_pairs_per_step",
+                          "per_pair_timing")
+
+
+class _reference_module_scope:
+    """Temporarily install fake `roman.*` modules exposing the export
+    stub classes, so pickle's save-by-reference records the reference's
+    class paths. Pickle restores instances via __dict__ update without
+    running constructors, so the REAL reference classes (frozen
+    dataclasses included) load these bytes directly. Pre-existing
+    modules (a real reference install) are left untouched."""
+
+    def __enter__(self):
+        import sys
+        import types
+
+        self._added = []
+        needed = set()
+        for name, module in _EXPORT_MODULES.items():
+            parts = module.split(".")
+            for k in range(1, len(parts) + 1):
+                needed.add(".".join(parts[:k]))
+        for modname in sorted(needed):
+            if modname not in sys.modules:
+                sys.modules[modname] = types.ModuleType(modname)
+                self._added.append(modname)
+        for name, module in _EXPORT_MODULES.items():
+            mod = sys.modules[module]
+            if not hasattr(mod, name):
+                setattr(mod, name, _stub_class(module, name))
+        return self
+
+    def __exit__(self, *exc):
+        import sys
+
+        for modname in self._added:
+            sys.modules.pop(modname, None)
+        return False
+
+
+def _ref_instance(name: str, attrs: dict):
+    """Instance with reference class path, built without running any
+    constructor (exactly how unpickling restores it). If the class is
+    already resident in sys.modules — a real reference install, or test
+    fakes — that class is used: pickle's save-by-reference requires the
+    resident class object, and real classes restore via __dict__ fine."""
+    import sys
+
+    module = _EXPORT_MODULES[name]
+    mod = sys.modules.get(module)
+    cls = (getattr(mod, name) if mod is not None and hasattr(mod, name)
+           else _stub_class(module, name))
+    obj = cls.__new__(cls)
+    obj.__dict__.update(attrs)
+    return obj
+
+
+def _segment_to_reference(s) -> object:
+    """SegmentData -> reference SegmentMinimalData attribute layout
+    (segment.py:19-59 __init__ through the Object base, object.py:8-16:
+    dim, centroid (3, 1), id, _volume, _descriptor)."""
+    desc = (np.asarray(s.semantic_descriptor).reshape(-1)
+            if s.semantic_descriptor is not None else None)
+    return _ref_instance("SegmentMinimalData", dict(
+        dim=3,
+        centroid=np.asarray(s.center, np.float64).reshape(3, 1),
+        id=int(s.id),
+        _volume=float(s.volume),
+        _descriptor=None,
+        _linearity=float(s.linearity),
+        _planarity=float(s.planarity),
+        _scattering=float(s.scattering),
+        extent=(np.asarray(s.extent, np.float64).reshape(-1)
+                if s.extent is not None else None),
+        semantic_descriptor=desc,
+        first_seen=float(s.first_seen),
+        last_seen=float(s.last_seen),
+    ))
+
+
+def reference_map_object(roman_map: RomanMap):
+    """Build the reference-layout ROMANMap object graph (not yet
+    pickled). trajectory/times/descriptors are LISTS — the reference's
+    ROMANMap.concatenate list-appends them (map.py:61-92)."""
+    traj = [np.asarray(T, np.float64) for T in roman_map.trajectory]
+    times = [float(t) for t in np.asarray(roman_map.times).reshape(-1)]
+    descs = (None if roman_map.descriptors is None
+             else [np.asarray(d) for d in roman_map.descriptors])
+    return _ref_instance("ROMANMap", dict(
+        segments=[_segment_to_reference(s) for s in roman_map.segments],
+        trajectory=traj,
+        times=times,
+        descriptors=descs,
+        poses_are_flu=bool(getattr(roman_map, "poses_are_flu", True)),
+    ))
+
+
+def save_reference_map(roman_map: RomanMap, path: str) -> None:
+    """Write a RomanMap as a reference-package-loadable ROMANMap pickle
+    (the inverse of load_reference_map; round-trip tested)."""
+    obj = reference_map_object(roman_map)
+    with _reference_module_scope():
+        with open(path, "wb") as f:
+            pickle.dump(obj, f)
+
+
+def save_reference_align_results(results, path: Optional[str] = None) -> None:
+    """Write SubmapAlignResults as a reference-layout pickle
+    (roman.align.results.SubmapAlignResults with
+    roman.params.* params classes; field names match 1:1 —
+    reference results.py:18-44). TPU-only param knobs are stripped."""
+    import dataclasses
+
+    sp = {k: v for k, v in dataclasses.asdict(
+        results.submap_align_params).items()
+        if k not in _TPU_ONLY_PARAM_FIELDS}
+    io = dataclasses.asdict(results.submap_io)
+    attrs = dict(
+        robots_nearby_mat=results.robots_nearby_mat,
+        clipper_angle_mat=results.clipper_angle_mat,
+        clipper_dist_mat=results.clipper_dist_mat,
+        clipper_num_associations=results.clipper_num_associations,
+        similarity_mat=results.similarity_mat,
+        submap_yaw_diff_mat=results.submap_yaw_diff_mat,
+        associated_objs_mat=results.associated_objs_mat,
+        T_ij_mat=results.T_ij_mat,
+        T_ij_hat_mat=results.T_ij_hat_mat,
+        timing_list=list(results.timing_list),
+        submap_align_params=_ref_instance("SubmapAlignParams", sp),
+        submap_io=_ref_instance("SubmapAlignInputOutput", io),
+        total_time=float(results.total_time),
+    )
+    obj = _ref_instance("SubmapAlignResults", attrs)
+    path = path or results.submap_io.output_pkl
+    with _reference_module_scope():
+        with open(path, "wb") as f:
+            pickle.dump(obj, f)
+
+
 def _bottom_middle(pts: np.ndarray) -> np.ndarray:
     """Reference center_ref='bottom_middle' (segment.py:266-274): median
     x/y, min z."""

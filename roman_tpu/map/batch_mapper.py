@@ -97,6 +97,16 @@ class BatchMapper:
         self._step_fn = self._build()
         self._step = jax.jit(self._step_fn)
         self._scan_steps = {}
+        # RETIRED segments spilled off-device (see maybe_spill): the pool
+        # only needs to hold LIVE segments, so long runs don't exhaust
+        # max_segments (retired segments never change again —
+        # graveyard semantics, reference mapper.py:93-127)
+        self._spilled: List[SegmentData] = []
+        self._updates_since_spill_check = 0
+        # check pool occupancy every N update_batch calls (each check is
+        # one small device fetch — ~1 s through the TPU tunnel)
+        self.spill_check_every = 4
+        self.spill_threshold = 0.7
 
     def set_T_camera_flu(self, T: np.ndarray):
         """Camera->FLU convention applied to the EXPORTED trajectory only
@@ -366,6 +376,7 @@ class BatchMapper:
             jnp.asarray(poses, jnp.float32),
             jnp.asarray(points, jnp.float32), jnp.asarray(points_valid),
             jnp.asarray(descriptors, jnp.float32), jnp.asarray(obs_mask))
+        self.maybe_spill()
 
     def pack_observations(self, observations):
         """Pack an Observation list into padded arrays (camera frame)."""
@@ -412,6 +423,7 @@ class BatchMapper:
         self.state = self._step(
             self.state, jnp.float32(t), jnp.asarray(obs_pts), jnp.asarray(obs_val),
             jnp.asarray(obs_desc), jnp.asarray(obs_mask))
+        self.maybe_spill()
 
     def _export_packed(self):
         """ONE device program + TWO packed fetches for the whole export:
@@ -477,13 +489,13 @@ class BatchMapper:
         return (points, points_valid.astype(bool), desc, desc_count,
                 first_seen, last_seen, vol, extent, attrs, status, seg_id)
 
-    def get_roman_map(self) -> RomanMap:
-        """Fetch the pooled map once and export SegmentData records."""
+    def _export_segments(self, statuses):
+        """SegmentData records (+ their slot indices) for pool slots whose
+        status is in `statuses`, via the one-dispatch packed export."""
         (points, points_valid, desc, desc_count, first_seen, last_seen,
          vol, extent, attrs, status, seg_id) = self._export_packed()
-        segments = []
-        live = status > EMPTY
-        for i in np.flatnonzero(live):
+        segments, slots = [], []
+        for i in np.flatnonzero(np.isin(status, list(statuses))):
             pv = points_valid[i]
             if not pv.any():
                 continue
@@ -500,6 +512,54 @@ class BatchMapper:
                 first_seen=float(first_seen[i]),
                 last_seen=float(last_seen[i]),
             ))
+            slots.append(i)
+        return segments, slots
+
+    def maybe_spill(self, force: bool = False):
+        """Move RETIRED segments off-device when the pool fills up.
+
+        Retired segments are graveyard state — never associated, merged
+        or updated again (reference mapper.py:93-127) — so they only
+        occupy pool slots for export's sake. Spilling them to the host
+        list (through the same cleanup-applying export program) and
+        freeing their slots keeps max_segments a LIVE-segment capacity,
+        so long trajectories don't exhaust the pool (which would
+        silently drop every new observation)."""
+        self._updates_since_spill_check += 1
+        if not force and self._updates_since_spill_check < self.spill_check_every:
+            return
+        self._updates_since_spill_check = 0
+        status = np.asarray(self.state.status)
+        if not force and (status > EMPTY).mean() < self.spill_threshold:
+            return
+        if not (status == RETIRED).any():
+            return
+        segs, slots = self._export_segments((RETIRED,))
+        self._spilled += segs
+        if not slots:
+            return
+        mask = np.zeros(len(status), bool)
+        mask[slots] = True
+        if getattr(self, "_free_fn", None) is None:
+            @jax.jit
+            def free(state: MapState, m):
+                return state.replace(
+                    status=jnp.where(m, EMPTY, state.status),
+                    seg_id=jnp.where(m, -1, state.seg_id),
+                    points_valid=state.points_valid & ~m[:, None],
+                    desc_count=jnp.where(m, 0.0, state.desc_count),
+                    num_sightings=jnp.where(m, 0, state.num_sightings),
+                    last_seen=jnp.where(m, -1e9, state.last_seen),
+                )
+
+            self._free_fn = free
+        self.state = self._free_fn(self.state, jnp.asarray(mask))
+
+    def get_roman_map(self) -> RomanMap:
+        """Fetch the pooled map once and export SegmentData records
+        (spilled retired segments + the current pool)."""
+        segments, _ = self._export_segments((NURSERY, ACTIVE, RETIRED))
+        segments = list(self._spilled) + segments
         return RomanMap(
             segments=segments,
             trajectory=(np.stack(self.poses) @ self._T_camera_flu

@@ -504,21 +504,24 @@ def apply_label_filters(masks: jax.Array, valid: jax.Array,
     sat_flat = sat.reshape(B, K, (H + 1) * (W + 1))
     area = jnp.maximum(jnp.sum(m, axis=(-2, -1)), 1.0)  # (B, K)
 
+    def box_corners(boxes):
+        # reference pixel semantics (fastsam_wrapper.py:455-480): boxes
+        # truncate to int (np .astype int64 truncates toward zero), the
+        # covered range is the EXCLUSIVE slice [x0:x1), clipped to the
+        # image. Degenerate (zero-extent) rows are the padding
+        # convention for "no detection" and become empty slices.
+        b = jnp.trunc(boxes).astype(jnp.int32)
+        x1 = jnp.clip(b[..., 0], 0, W)
+        y1 = jnp.clip(b[..., 1], 0, H)
+        x2 = jnp.clip(b[..., 2], 0, W)
+        y2 = jnp.clip(b[..., 3], 0, H)
+        return x1, y1, x2, y2, (x2 > x1) & (y2 > y1)
+
     def frac_in_boxes(boxes):
-        # boxes (B, nb, 4) xyxy -> (B, K) max fraction of mask inside any
-        # box. Pixel (x, y) counts as inside when x1 <= x <= x2 and
-        # y1 <= y <= y2 (integer range [ceil(lo), floor(hi)]).
-        # Degenerate (zero-extent) rows are the padding convention for
-        # "no detection" — without the validity gate a (0,0,0,0) padding
-        # box contains pixel (0,0) and the any-overlap ignore threshold
-        # would drop every mask touching the image's top-left corner.
-        x1 = jnp.clip(jnp.ceil(boxes[..., 0]), 0, W).astype(jnp.int32)
-        y1 = jnp.clip(jnp.ceil(boxes[..., 1]), 0, H).astype(jnp.int32)
-        x2 = jnp.clip(jnp.floor(boxes[..., 2]) + 1, 0, W).astype(jnp.int32)
-        y2 = jnp.clip(jnp.floor(boxes[..., 3]) + 1, 0, H).astype(jnp.int32)
-        box_valid = ((boxes[..., 2] > boxes[..., 0])
-                     & (boxes[..., 3] > boxes[..., 1])
-                     & (x2 > x1) & (y2 > y1))  # (B, nb)
+        # (B, nb, 4) xyxy -> (B, K) max per-box fraction of mask inside.
+        # For the ANY-OVERLAP ignore rule, max-over-boxes is equivalent
+        # to overlap with the union mask the reference rasterizes.
+        x1, y1, x2, y2, box_valid = box_corners(boxes)
 
         def corner(yy, xx):  # (B, nb) each -> (B, K, nb)
             idx = (yy * (W + 1) + xx)[:, None, :]
@@ -531,11 +534,31 @@ def apply_label_filters(masks: jax.Array, valid: jax.Array,
         inter = jnp.where(box_valid[:, None, :], inter, 0.0)
         return jnp.max(inter / area[:, :, None], axis=-1)  # (B, K)
 
+    def frac_in_union(boxes):
+        # (B, nb, 4) -> (B, K) fraction of mask inside the UNION of the
+        # boxes — the reference's keep rule intersects the mask with one
+        # rasterized union keep_mask (fastsam_wrapper.py:472-480, :560),
+        # so a mask spanning two adjacent keep boxes counts their union,
+        # not the best single box.
+        x1, y1, x2, y2, box_valid = box_corners(boxes)
+        xs = jnp.arange(W)
+        ys = jnp.arange(H)
+        inx = ((xs[None, None, :] >= x1[..., None])
+               & (xs[None, None, :] < x2[..., None]))       # (B, nb, W)
+        iny = ((ys[None, None, :] >= y1[..., None])
+               & (ys[None, None, :] < y2[..., None]))       # (B, nb, H)
+        cell = (iny[..., :, None] & inx[..., None, :]
+                & box_valid[..., None, None])
+        union = jnp.any(cell, axis=1)                       # (B, H, W)
+        inter = jnp.sum(m * union[:, None].astype(jnp.float32),
+                        axis=(-2, -1))                      # (B, K)
+        return inter / area
+
     ok = valid
     if ignore_boxes is not None:
         ok = ok & (frac_in_boxes(ignore_boxes) < ignore_frac)
     if keep_boxes is not None:
-        ok = ok & (frac_in_boxes(keep_boxes) >= keep_frac)
+        ok = ok & (frac_in_union(keep_boxes) >= keep_frac)
     return ok
 
 

@@ -82,11 +82,45 @@ def make_pair_problem(
     translation_scale: float = 10.0,
     desc_dim: int = 768,
     area=(30.0, 30.0, 3.0),
+    dup_frac: float = 0.0,
+    symmetric: bool = False,
 ) -> PairProblem:
     """Two views of a shared scene related by a yaw+translation (submap
     frames are gravity-aligned in the reference, map.py:106-111, so the true
-    inter-submap transform is yaw-only)."""
+    inter-submap transform is yaw-only).
+
+    Adversarial nuisances (alignment-quality sweeps):
+    - dup_frac: fraction of the common objects DUPLICATED at mirrored
+      positions in both views with identical descriptors/shape —
+      repetitive-structure aliasing that tempts clone-to-original
+      matches.
+    - symmetric: lay the common objects out mirror-symmetrically about
+      the area's x-axis (each object gets a twin), creating a global
+      180-degree ambiguity.
+    """
     world = random_objects(rng, n_common + n_only1 + n_only2, area=area, desc_dim=desc_dim)
+    if symmetric and n_common >= 2:
+        # second half of the common set = mirror twins of the first half
+        # (same shape/descriptor, reflected placement)
+        h = n_common // 2
+        mirror = world["centers"][:h].copy()
+        mirror[:, 1] = area[1] - mirror[:, 1]
+        world["centers"][h: 2 * h] = mirror
+        for key in ("pca", "volume", "extent", "desc", "cls"):
+            world[key][h: 2 * h] = world[key][:h]
+    n_dup = int(round(dup_frac * n_common))
+    if n_dup > 0:
+        # clones live at mirrored positions and are visible in BOTH
+        # views (appended after the common block so they are never part
+        # of the GT association set)
+        src = rng.choice(n_common, size=n_dup, replace=False)
+        clone_centers = world["centers"][src].copy()
+        clone_centers[:, 0] = area[0] - clone_centers[:, 0]
+        clone_centers[:, 1] = area[1] - clone_centers[:, 1]
+        for key, cl in (("centers", clone_centers),):
+            world[key] = np.concatenate([world[key], cl], axis=0)
+        for key in ("pca", "volume", "extent", "desc", "cls"):
+            world[key] = np.concatenate([world[key], world[key][src]], axis=0)
     if yaw is None:
         yaw = rng.uniform(-np.pi, np.pi)
     t = np.concatenate([rng.uniform(-1.0, 1.0, 2) * translation_scale, rng.uniform(-0.5, 0.5, 1)])
@@ -95,6 +129,11 @@ def make_pair_problem(
 
     idx1 = np.arange(n_common + n_only1)
     idx2 = np.concatenate([np.arange(n_common), np.arange(n_common + n_only1, n_common + n_only1 + n_only2)])
+    if n_dup > 0:
+        clones = np.arange(n_common + n_only1 + n_only2,
+                           n_common + n_only1 + n_only2 + n_dup)
+        idx1 = np.concatenate([idx1, clones])
+        idx2 = np.concatenate([idx2, clones])
 
     def view(idx, transform):
         c = world["centers"][idx]

@@ -231,6 +231,33 @@ def test_device_mapper_agrees_with_host_noisy(rng):
         3, 0.5 * len(host_centers))
 
 
+def test_retired_spill_prevents_pool_exhaustion(rng):
+    """Long trajectory with many transient objects: RETIRED segments must
+    spill off-device and free their slots, so the map keeps growing past
+    max_segments (regression: the r3 device-mapper e2e found 0 loop
+    closures because the 256-slot pool saturated and later submaps were
+    empty)."""
+    params = MapperParams(min_sightings=1, max_t_no_sightings=0.3,
+                          geometric_score_range=(0.15, 1.0),
+                          max_segments=24, max_points_per_segment=32)
+    m = BatchMapper(params, CameraParams.simple(), desc_dim=4, obs_capacity=8)
+    m.spill_check_every = 2
+    pose = np.eye(4)
+    n_frames, per_frame = 20, 6
+    for f in range(n_frames):
+        t = f * 0.2
+        # fresh objects every frame; old ones retire after 0.3 s unseen
+        obs = [make_obs(rng, np.array([3.0 * f, 4.0 * k, 1.0]), pose, t,
+                        n=20, scale=0.1) for k in range(per_frame)]
+        m.update(t, pose, obs)
+    rmap = m.get_roman_map()
+    # far more segments than the pool can hold at once
+    assert len(rmap.segments) > params.max_segments, len(rmap.segments)
+    assert len(rmap.segments) >= n_frames * per_frame * 0.8
+    ids = [s.id for s in rmap.segments]
+    assert len(set(ids)) == len(ids)  # no id reuse across spills
+
+
 def test_ensure_desc_dim_widens_pool():
     """Regression: a stream whose first batch has no descriptors created
     the device mapper at the placeholder width, silently truncating all

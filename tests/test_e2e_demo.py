@@ -74,6 +74,23 @@ def test_ate_gate(demo_output):
     assert ate < 1.0, f"ATE RMSE {ate} too high"
 
 
+def test_submap_viz_cli(demo_output):
+    """demo/submap_viz.py (reference roman/align/submap_viz.py CLI
+    parity, offscreen): per-run submap browsing sheets + the per-pair
+    composite over the result matrix with accept/reject coloring."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "demo", "submap_viz.py"),
+         "-p", str(demo_output / "params"), "-o", str(demo_output), "-t"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    viz = demo_output / "submap_viz"
+    for name in ["robot0.png", "robot1.png", "all_runs.png",
+                 "robot0_robot1_matrix.png"]:
+        assert (viz / name).exists() and (viz / name).stat().st_size > 0, name
+
+
 def test_viz_cli_scripts(demo_output):
     """The post-hoc viz CLIs run against the demo's artifacts:
     o3d_viz/map_viz (3D map render) and association_vid (per-LC

@@ -100,6 +100,135 @@ def test_load_reference_minimal_data_pickle(tmp_path, rng):
     assert loaded.descriptors.shape == (4, 8)
 
 
+def _maps_equal(a, b):
+    assert len(a.segments) == len(b.segments)
+    for sa, sb in zip(a.segments, b.segments):
+        assert sa.id == sb.id
+        np.testing.assert_allclose(sa.center, np.asarray(sb.center).reshape(-1))
+        assert sa.volume == sb.volume
+        assert (sa.linearity, sa.planarity, sa.scattering) == (
+            sb.linearity, sb.planarity, sb.scattering)
+        np.testing.assert_allclose(sa.extent, sb.extent)
+        if sa.semantic_descriptor is None:
+            assert sb.semantic_descriptor is None
+        else:
+            np.testing.assert_allclose(sa.semantic_descriptor,
+                                       sb.semantic_descriptor)
+        assert sa.first_seen == sb.first_seen and sa.last_seen == sb.last_seen
+    np.testing.assert_allclose(a.trajectory, b.trajectory)
+    np.testing.assert_allclose(a.times, b.times)
+
+
+def test_save_reference_map_roundtrip(tmp_path, rng):
+    """Export direction (VERDICT r2 item 4): save_reference_map writes a
+    pickle whose class paths are the reference's, and
+    load_reference_map(save_reference_map(x)) == x."""
+    from roman_tpu import interop
+    from roman_tpu.map.roman_map import RomanMap, SegmentData
+
+    segs = [SegmentData(
+        id=i, center=np.array([i, 1.0, 0.5]), volume=1.5 + i,
+        linearity=0.2, planarity=0.3, scattering=0.5,
+        extent=np.array([0.5, 1.0, 2.0]),
+        semantic_descriptor=(np.ones(8) / np.sqrt(8.0) if i % 2 else None),
+        first_seen=float(i), last_seen=float(i) + 4.0,
+    ) for i in range(4)]
+    m = RomanMap(segments=segs,
+                 trajectory=np.stack([np.eye(4)] * 3),
+                 times=np.arange(3.0),
+                 descriptors=np.ones((3, 6)))
+    p = tmp_path / "exported.pkl"
+    interop.save_reference_map(m, str(p))
+
+    # the bytes must carry the reference's class paths (save-by-reference)
+    raw = p.read_bytes()
+    assert b"roman.map.map" in raw and b"roman.object.segment" in raw
+    assert b"roman_tpu" not in raw
+
+    loaded = interop.load_reference_map(str(p))
+    _maps_equal(loaded, m)
+
+    # and it loads against "real" reference classes (the fake package
+    # with actual constructors stands in for an installed reference)
+    ROMANMap, SegmentMinimalData, _ = _fake_reference_modules()
+    with open(p, "rb") as f:
+        ref_obj = pickle.load(f)
+    assert type(ref_obj) is ROMANMap
+    assert type(ref_obj.segments[0]) is SegmentMinimalData
+    assert ref_obj.segments[2].id == 2
+    np.testing.assert_allclose(
+        np.asarray(ref_obj.segments[1].centroid).reshape(-1), [1.0, 1.0, 0.5])
+    # reference's concatenate list-appends trajectory/times: both lists
+    assert isinstance(ref_obj.trajectory, list) and isinstance(
+        ref_obj.times, list)
+
+
+def test_save_reference_align_results(tmp_path):
+    """SubmapAlignResults exports with reference class paths and 1:1
+    field names (reference results.py:18-44)."""
+    from roman_tpu import interop
+    from roman_tpu.align.results import SubmapAlignResults
+    from roman_tpu.params.submap_align_params import (
+        SubmapAlignInputOutput, SubmapAlignParams)
+
+    n0, n1 = 2, 3
+    res = SubmapAlignResults(
+        robots_nearby_mat=np.full((n0, n1), np.nan),
+        clipper_angle_mat=np.zeros((n0, n1)),
+        clipper_dist_mat=np.zeros((n0, n1)),
+        clipper_num_associations=np.zeros((n0, n1)),
+        similarity_mat=None,
+        submap_yaw_diff_mat=np.zeros((n0, n1)),
+        associated_objs_mat=[[np.zeros((0, 2), np.int64)] * n1] * n0,
+        T_ij_mat=np.broadcast_to(np.eye(4), (n0, n1, 4, 4)).copy(),
+        T_ij_hat_mat=np.full((n0, n1, 4, 4), np.nan),
+        timing_list=[0.1] * 6,
+        submap_align_params=SubmapAlignParams(),
+        submap_io=SubmapAlignInputOutput(
+            inputs=["a.pkl", "b.pkl"], output_dir=str(tmp_path),
+            run_name="align"),
+        total_time=1.0,
+    )
+    p = tmp_path / "align_ref.pkl"
+    interop.save_reference_align_results(res, str(p))
+    raw = p.read_bytes()
+    assert b"roman.align.results" in raw
+    assert b"roman_tpu" not in raw
+    with open(p, "rb") as f:
+        from roman_tpu.interop import _RefUnpickler
+        obj = _RefUnpickler(f).load()
+    assert obj.clipper_num_associations.shape == (n0, n1)
+    d = obj.submap_align_params.__dict__
+    assert "use_pallas" not in d and d["submap_max_size"] == 40
+    assert obj.submap_io.__dict__["run_name"] == "align"
+
+
+def test_golden_reference_pickle_fixture():
+    """Golden fixture: a committed reference-format map pickle must keep
+    loading identically (guards the exporter AND importer against layout
+    drift)."""
+    import os
+
+    from roman_tpu import interop
+
+    p = os.path.join(os.path.dirname(__file__), "fixtures",
+                     "reference_map_golden.pkl")
+    m = interop.load_reference_map(p)
+    assert len(m.segments) == 3
+    assert [s.id for s in m.segments] == [10, 11, 12]
+    np.testing.assert_allclose(m.segments[0].center, [0.0, 2.0, 1.0])
+    np.testing.assert_allclose(m.segments[1].extent, [0.4, 0.8, 1.6])
+    assert m.segments[2].volume == 6.0
+    np.testing.assert_allclose(m.times, [0.0, 0.5, 1.0])
+    assert m.trajectory.shape == (3, 4, 4)
+    # round-trip through the exporter preserves it
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        interop.save_reference_map(m, f.name)
+        m2 = interop.load_reference_map(f.name)
+    _maps_equal(m2, m)
+
+
 def test_load_reference_full_segment_pickle(tmp_path, rng):
     ROMANMap, _, Segment = _fake_reference_modules()
     pts = rng.normal(size=(50, 3)) * np.array([2.0, 1.0, 0.5]) + np.array(

@@ -61,6 +61,92 @@ def test_label_filters():
     assert not ok[0, 0] and ok[0, 1]
 
 
+def _reference_mask_decisions(masks, ignore_boxes, keep_boxes,
+                              use_keep, keep_frac):
+    """Literal numpy twin of the reference's ignore/keep filtering
+    (fastsam_wrapper.py:440-484 box rasterization + :544-563 decisions):
+    union pixel masks from int-truncated exclusive box slices; drop on
+    ANY ignore overlap; with keep labels, require intersection with the
+    keep UNION >= keep_frac * mask area. Returns the keep decision per
+    mask."""
+    K, H, W = masks.shape
+    ignore_mask = np.zeros((H, W), np.int8)
+    for box in ignore_boxes:
+        x0, y0, x1, y1 = np.array(box).astype(np.int64).reshape(-1).tolist()
+        x0, y0 = max(x0, 0), max(y0, 0)
+        x1, y1 = min(x1, W), min(y1, H)
+        if x1 > x0 and y1 > y0:
+            ignore_mask[y0:y1, x0:x1] = 1
+    keep_mask = None
+    if use_keep:
+        keep_mask = np.zeros((H, W), np.int8)
+        for box in keep_boxes:
+            x0, y0, x1, y1 = np.array(box).astype(np.int64).reshape(-1).tolist()
+            x0, y0 = max(x0, 0), max(y0, 0)
+            x1, y1 = min(x1, W), min(y1, H)
+            if x1 > x0 and y1 > y0:
+                keep_mask[y0:y1, x0:x1] = 1
+    decisions = np.ones(K, bool)
+    for k in range(K):
+        mk = masks[k].astype(np.int8)
+        if np.any(np.bitwise_and(mk, ignore_mask)):
+            decisions[k] = False
+            continue
+        if keep_mask is not None and (
+                np.bitwise_and(mk, keep_mask).sum() < keep_frac * mk.sum()):
+            decisions[k] = False
+    return decisions
+
+
+def test_label_filter_matches_reference_rules(rng):
+    """Identical mask-drop decisions as the reference's YOLOv7-driven
+    filtering for identical boxes (VERDICT r2 item 7): random masks vs
+    random ignore/keep boxes, including fractional/negative/out-of-range
+    box coordinates and masks spanning two adjacent keep boxes (which
+    only a UNION keep rule accepts)."""
+    import jax.numpy as jnp
+
+    H, W, K = 32, 48, 12
+    keep_frac = 0.5
+    for trial in range(8):
+        masks = np.zeros((K, H, W), bool)
+        for k in range(K):
+            y = rng.integers(0, H - 6)
+            x = rng.integers(0, W - 6)
+            h = rng.integers(3, 7)
+            w = rng.integers(3, 7)
+            masks[k, y:y + h, x:x + w] = True
+        nb = 4
+        def rand_boxes():
+            out = []
+            for _ in range(nb):
+                x0 = rng.uniform(-4, W - 2)
+                y0 = rng.uniform(-4, H - 2)
+                out.append([x0, y0, x0 + rng.uniform(0, W / 2 + 4),
+                            y0 + rng.uniform(0, H / 2 + 4)])
+            return np.array(out)
+        ignore = rand_boxes()
+        keep = rand_boxes()
+        ref = _reference_mask_decisions(masks, ignore, keep, True, keep_frac)
+        got = np.asarray(apply_label_filters(
+            jnp.asarray(masks[None]), jnp.ones((1, K), bool),
+            ignore_boxes=jnp.asarray(ignore[None], jnp.float32),
+            keep_boxes=jnp.asarray(keep[None], jnp.float32),
+            ignore_frac=1e-9, keep_frac=keep_frac))[0]
+        np.testing.assert_array_equal(got, ref, err_msg=f"trial {trial}")
+
+    # mask spanning two adjacent keep boxes: union rule keeps it
+    masks = np.zeros((1, 1, H, W), bool)
+    masks[0, 0, 4:8, 4:20] = True
+    keep = np.array([[[4.0, 0.0, 12.0, H], [12.0, 0.0, 20.0, H]]])
+    got = np.asarray(apply_label_filters(
+        jnp.asarray(masks), jnp.ones((1, 1), bool),
+        keep_boxes=jnp.asarray(keep, jnp.float32), keep_frac=0.9))[0, 0]
+    ref = _reference_mask_decisions(masks[0], np.zeros((0, 4)), keep[0],
+                                    True, 0.9)[0]
+    assert bool(got) is True and bool(ref) is True
+
+
 def test_erosion_and_rotation(rng):
     masks = np.zeros((1, 1, 10, 10), bool)
     masks[0, 0, 3:7, 3:7] = True
