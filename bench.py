@@ -173,7 +173,9 @@ def run_tpu(feats, auxs, cfg, chunk_size=32, repeats=2):
         res = registrar(feats[0], feats[1], auxs[0]["seg_ids"], auxs[1]["seg_ids"],
                         pair_i, pair_j)
         dt = min(dt, time.perf_counter() - t0)
-    return P, P / dt, res, pair_i, pair_j
+    # registrar.cfg.use_pallas flips to False on dispatch-time fallback
+    # (Mosaic/VMEM failure), so this reports the engine that actually ran
+    return P, P / dt, res, pair_i, pair_j, registrar.cfg.pallas_enabled()
 
 
 # ---------------------------------------------------------------------------
@@ -540,12 +542,12 @@ def main():
                 warmup_iters=w, outer_iters=o, inner_iters=i))
         if args.pairs_per_step:
             cfg = _dc.replace(cfg, pallas_pairs_per_step=args.pairs_per_step)
-    P, xla_pps, res_xla, pair_i, pair_j = run_tpu(
+    P, xla_pps, res_xla, pair_i, pair_j, _ = run_tpu(
         feats[:2], auxs[:2], cfg, chunk_size=args.chunk, repeats=args.repeats)
 
     # fused VMEM-resident pallas engine (TPU only; measured ~2.1x the XLA
     # path on v5e, so it is the headline path when available)
-    pallas_pps, res_pal = None, None
+    pallas_pps, res_pal, pallas_ran = None, None, False
     if not args.no_pallas and not args.cpu:
         import dataclasses as _dc
 
@@ -555,19 +557,23 @@ def main():
         # when even K=1 overflows, PairGridRegistrar's dispatch-time
         # fallback lands on the XLA engine
         if args.pairs_per_step is None:
-            N = args.capacity * args.capacity
-            k_auto = max(int(80e6 // (N * N * 2 + N * N * 2)), 1)
-            cfg = _dc.replace(cfg, pallas_pairs_per_step=min(k_auto, 4))
+            from roman_tpu.align.fused_register import max_pairs_per_step
+
+            k_auto = max_pairs_per_step(args.capacity * args.capacity)
+            cfg = _dc.replace(
+                cfg, pallas_pairs_per_step=max(min(k_auto, 4), 1))
         cfg_pal = _dc.replace(cfg, use_pallas=True)
         try:
-            _, pallas_pps, res_pal, _, _ = run_tpu(
+            _, pallas_pps, res_pal, _, _, pallas_ran = run_tpu(
                 feats, auxs, cfg_pal, chunk_size=args.chunk,
                 repeats=args.repeats)
         except Exception as e:  # non-TPU backend or Mosaic failure
             print(f"# pallas path unavailable: {type(e).__name__}: {e}",
                   flush=True)
 
-    use_pal = pallas_pps is not None and pallas_pps > xla_pps
+    # pallas_ran=False means the registrar's dispatch-time fallback ran
+    # the XLA engine under the pallas label — report it as what it was
+    use_pal = pallas_pps is not None and pallas_ran and pallas_pps > xla_pps
     pps = pallas_pps if use_pal else xla_pps
     res = res_pal if use_pal else res_xla
 
@@ -589,7 +595,7 @@ def main():
         "submap_capacity": args.capacity,
         "desc_dim": args.desc_dim,
     }
-    if pallas_pps is not None:
+    if pallas_pps is not None and pallas_ran:
         record["pallas_pairs_per_sec"] = round(pallas_pps, 2)
     if args.solver_iters:
         record["solver_iters"] = args.solver_iters

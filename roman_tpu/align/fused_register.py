@@ -469,6 +469,21 @@ def _fused_flat(c1, r1, d1, c2, r2, d2, valid, n: int, m: int,
             u.reshape(P_pad, N)[:P], F.reshape(P_pad, 1)[:P])
 
 
+def max_pairs_per_step(N: int, vmem_budget: int = 110 * 1024 * 1024) -> int:
+    """Largest kernel K that fits VMEM at association-matrix size N=n*m.
+
+    Footprint model: (K+1) bf16 (N, N) scratch matrices (K pair
+    affinities + the shared zero-edge mask) plus ~4 f32 (N, N)
+    affinity-build intermediates. Calibrated on v5e (128 MB VMEM,
+    110 MB compiler budget): K=4 fits at N=1600 (capacity 40), K=3
+    overflows but K=1 fits at N=2304 (capacity 48). Returns 0 when even
+    K=1 overflows — callers should use the XLA engine (capacity 64+).
+    """
+    per = 2 * N * N  # one bf16 (N, N)
+    overhead = per + 8 * per  # mask scratch + ~4 f32 intermediates
+    return max((vmem_budget - overhead) // per, 0)
+
+
 def fused_register(f1, f2, inv: FusedInvariantStatics,
                    params: ClipperSolveParams = ClipperSolveParams(),
                    assoc_mask=None, pairs_per_step: int = 2,
@@ -478,9 +493,21 @@ def fused_register(f1, f2, inv: FusedInvariantStatics,
     f1/f2: SubmapFeatures with leading batch dims. Returns
     (sel (..., n, m) bool, count (...,) int32, u (..., n, m) f32,
     F (...,) f32) — the solve_and_round contract.
+
+    pairs_per_step is clamped to max_pairs_per_step(n*m) so large
+    submap capacities degrade to a smaller K (capacity 48: K=1, 1136
+    pairs/s on v5e vs 589 XLA) instead of overflowing VMEM; raises
+    ValueError when no K fits (caller falls back to the XLA engine).
     """
     n = f1.capacity
     m = f2.capacity
+    if not interpret:
+        k_fit = max_pairs_per_step(n * m)
+        if k_fit < 1:
+            raise ValueError(
+                f"fused kernel cannot fit N={n * m} in VMEM at any K; "
+                f"use the XLA engine")
+        pairs_per_step = min(pairs_per_step, k_fit)
     batch = f1.centers.shape[:-2]
     valid = f1.valid[..., :, None] & f2.valid[..., None, :]
     if assoc_mask is not None:

@@ -13,12 +13,10 @@ stay on device; the map is fetched once at export).
 Semantics follow Mapper/MapperParams (GNN thresholds, min_sightings,
 max_t_no_sightings, merge-to-fixpoint as a bounded while_loop per frame,
 DBSCAN-equivalent largest-cluster retirement cleanup applied batched in
-the export program). Remaining divergence from the host mapper: no
-per-insert statistical outlier removal (the voxel downsample bounds
-noise instead), so the two mappers agree on map content but not
-bit-for-bit on point sets. The host Mapper remains the reference
-implementation; test_batch_mapper.py checks host/device agreement on
-clean AND noisy worlds.
+the export program, per-insert statistical outlier removal at
+integration/spawn/merge like host Segment._cleanup_points). The host
+Mapper remains the reference implementation; test_batch_mapper.py checks
+host/device agreement on clean AND noisy worlds.
 
 Sizing rule: max_points_per_segment must cover an object's occupied voxel
 count at segment_voxel_size — on overflow, voxel_downsample keeps a
@@ -43,12 +41,19 @@ from roman_tpu.data.camera import CameraParams
 from roman_tpu.map.roman_map import RomanMap, SegmentData
 from roman_tpu.ops.geometry import obb_volume_extent, shape_attributes
 from roman_tpu.ops.hungarian import auction_assignment
-from roman_tpu.ops.pointcloud import largest_cluster_mask
+from roman_tpu.ops.pointcloud import (largest_cluster_mask,
+                                      statistical_outlier_mask)
 from roman_tpu.ops.voxel import voxel_downsample, voxel_iou_cross
 from roman_tpu.params.mapper_params import MapperParams
 
-# lifecycle states
-EMPTY, NURSERY, ACTIVE, RETIRED = 0, 1, 2, 3
+# lifecycle states (reference mapper.py:93-127: nursery -> segments ->
+# inactive -> graveyard). INACTIVE segments are still merge targets —
+# the reference's merge scans segments + inactive_segments
+# (mapper.py:277), which is how a track that missed a few frames gets
+# re-fused with its freshly-spawned duplicate instead of fragmenting.
+# GRAVEYARD is terminal (spillable off-device).
+EMPTY, NURSERY, ACTIVE, INACTIVE, GRAVEYARD = 0, 1, 2, 3, 4
+RETIRED = GRAVEYARD  # compat alias
 
 
 @struct.dataclass
@@ -127,10 +132,11 @@ class BatchMapper:
         sem_lo, sem_hi = p.semantic_score_range
         iom = p.geometric_association_method == "iom"
 
-        def step(state: MapState, t, obs_pts, obs_valid, obs_desc, obs_mask):
+        def step(state: MapState, t, robot_pos, obs_pts, obs_valid, obs_desc,
+                 obs_mask):
             """obs_pts (O, Q, 3) world frame; obs_valid (O, Q); obs_desc
-            (O, D); obs_mask (O,) real observations."""
-            live = state.status > EMPTY
+            (O, D); obs_mask (O,) real observations; robot_pos (3,) for
+            the graveyard distance rule."""
             trackable = (state.status == NURSERY) | (state.status == ACTIVE)
 
             # ---- association scores (segment x observation) ----
@@ -178,6 +184,17 @@ class BatchMapper:
             comb_val = jnp.concatenate([state.points_valid, add_val], axis=1)
             new_pts, new_val = voxel_downsample(comb_pts, comb_val, vs_seg, capacity=P)
             touched = jnp.zeros((S,), bool).at[seg_of_obs].set(matched, mode="drop")
+            if p.segment_outlier_removal_std is not None:
+                # per-insert statistical outlier removal, host Segment
+                # parity (segment.py:87-93: o3d semantics on every
+                # insert). Only touched rows matter (untouched rows are
+                # reverted by the where below), so gather at most O of
+                # them instead of SOR-ing the whole (S, P) pool.
+                t_rows = jnp.argsort(~touched)[: min(O, S)]
+                keep = statistical_outlier_mask(
+                    new_pts[t_rows], new_val[t_rows], 10,
+                    p.segment_outlier_removal_std)
+                new_val = new_val.at[t_rows].set(keep)
             points = jnp.where(touched[:, None, None], new_pts, state.points)
             points_valid = jnp.where(touched[:, None], new_val, state.points_valid)
 
@@ -194,15 +211,25 @@ class BatchMapper:
             num_sightings = state.num_sightings + touched.astype(jnp.int32)
             last_seen = jnp.where(touched, t, state.last_seen)
 
-            # ---- lifecycle ----
+            # ---- lifecycle (reference mapper.py:93-127) ----
             status = state.status
             # nursery -> active
             status = jnp.where(
                 (status == NURSERY) & (num_sightings >= p.min_sightings), ACTIVE, status)
-            # unseen too long -> retired (actives) / freed (nursery)
-            stale = live & (t - last_seen > p.max_t_no_sightings)
-            status = jnp.where((status == ACTIVE) & stale, RETIRED, status)
+            # unseen too long -> inactive (actives) / freed (nursery)
+            stale = t - last_seen > p.max_t_no_sightings
+            status = jnp.where((status == ACTIVE) & stale, INACTIVE, status)
             status = jnp.where((status == NURSERY) & stale, EMPTY, status)
+            # inactive -> graveyard when too old or the robot moved away
+            # (segment_graveyard_time / _dist, reference mapper.py:113-123)
+            n_pts = jnp.maximum(jnp.sum(points_valid, axis=-1), 1)
+            centers = (jnp.sum(jnp.where(points_valid[..., None], points, 0.0),
+                               axis=-2) / n_pts[..., None])
+            far = jnp.linalg.norm(
+                centers - robot_pos[None, :], axis=-1) > p.segment_graveyard_dist
+            old = t - last_seen > p.segment_graveyard_time
+            status = jnp.where((status == INACTIVE) & (far | old),
+                               GRAVEYARD, status)
 
             # ---- new segments from unmatched observations ----
             new_obs = obs_mask & ~matched
@@ -224,6 +251,10 @@ class BatchMapper:
             q = obs_pts.shape[1]
             init_pts = init_pts.at[:, :q].set(obs_pts[:, :P])
             init_val = jnp.zeros((O, P), bool).at[:, :q].set(obs_valid[:, :P])
+            if p.segment_outlier_removal_std is not None:
+                # host parity: Segment creation also runs _cleanup_points
+                init_val = statistical_outlier_mask(
+                    init_pts, init_val, 10, p.segment_outlier_removal_std)
             points = place(points, init_pts)
             points_valid = place(points_valid, init_val)
             dnorm = obs_desc / jnp.maximum(
@@ -246,26 +277,61 @@ class BatchMapper:
             # lax.while_loop — each iteration recomputes the pair IOU on
             # the merged pools, so chained merges (a<-b then a<-c)
             # resolve within one frame like the reference.
+            #
+            # Only DIRTY segments (touched / spawned this frame, or just
+            # merged) can form a newly-mergeable pair: the previous
+            # frame ended at a merge fixpoint, untouched footprints are
+            # unchanged, and statuses only become less mergeable without
+            # a touch (INACTIVE can't re-activate except via merge). So
+            # the scan is dirty-rows x all-columns, (R, S) instead of
+            # (S, S) — R is bounded by O observations + the merge budget.
+            spawned = jnp.zeros((S,), bool).at[tgt].set(
+                can_place, mode="drop")
+            dirty0 = touched | spawned
+            R = min(O + int(p.max_merges_per_frame), S)
+
             def merge_once(carry):
                 (points, points_valid, desc, desc_count, num_sightings,
-                 first_seen, last_seen, seg_id, status, n_merges) = carry
-                live2 = (status == NURSERY) | (status == ACTIVE)
+                 first_seen, last_seen, seg_id, status, dirty,
+                 n_merges) = carry
+                activeish = (status == NURSERY) | (status == ACTIVE)
+                track3 = activeish | (status == INACTIVE)
+                # dirty rows first (stable sort keeps this deterministic)
+                rows = jnp.argsort(~dirty)[:R]
+                row_dirty = dirty[rows]
                 pair_iou = voxel_iou_cross(
-                    points, points_valid, points, points_valid, vs_iou,
-                    iom_as_iou=iom)
-                upper = jnp.triu(jnp.ones((S, S), bool), 1)
-                mergeable = (upper & live2[:, None] & live2[None, :]
+                    points[rows], points_valid[rows], points, points_valid,
+                    vs_iou, iom_as_iou=iom)  # (R, S)
+                g = rows[:, None]
+                c = jnp.arange(S)[None, :]
+                # at least one side currently tracked; the other may be
+                # INACTIVE (reference merge scans segments +
+                # inactive_segments, mapper.py:277) — this re-fuses a
+                # briefly-lost track with its freshly-spawned duplicate
+                mergeable = (row_dirty[:, None] & (g != c)
+                             & ((activeish[rows][:, None] & track3[None, :])
+                                | (track3[rows][:, None]
+                                   & activeish[None, :]))
                              & (pair_iou >= geo_lo))
                 flat = jnp.where(mergeable, pair_iou, -1.0).reshape(-1)
                 best = jnp.argmax(flat)
                 do_merge = flat[best] > 0
-                a, b = best // S, best % S
+                gbest = rows[best // S]
+                cbest = best % S
+                # merge b into a, a = lower slot (reference keeps seg1)
+                a = jnp.minimum(gbest, cbest)
+                b = jnp.maximum(gbest, cbest)
                 # merge b into a (a < b by triu): concatenate + downsample
                 mpts = jnp.concatenate([points[a], points[b]], axis=0)
                 mval = jnp.concatenate([points_valid[a] & do_merge,
                                         points_valid[b] & do_merge], axis=0)
                 md_pts, md_val = voxel_downsample(mpts, mval, vs_seg,
                                                   capacity=P)
+                if p.segment_outlier_removal_std is not None:
+                    # host parity: update_from_segment -> _cleanup_points
+                    md_val = statistical_outlier_mask(
+                        md_pts[None], md_val[None], 10,
+                        p.segment_outlier_removal_std)[0]
                 points = points.at[a].set(
                     jnp.where(do_merge, md_pts, points[a]))
                 points_valid = points_valid.at[a].set(
@@ -285,23 +351,33 @@ class BatchMapper:
                 seg_id = seg_id.at[a].set(
                     jnp.where(do_merge, jnp.minimum(seg_id[a], seg_id[b]),
                               seg_id[a]))
+                # merged segment is alive again (reference merges into an
+                # ACTIVE seg1); sightings decide active vs nursery
+                new_a = jnp.where(num_sightings[a] >= p.min_sightings,
+                                  ACTIVE, NURSERY)
+                status = status.at[a].set(
+                    jnp.where(do_merge, new_a, status[a]))
                 status = status.at[b].set(
                     jnp.where(do_merge, EMPTY, status[b]))
                 seg_id = seg_id.at[b].set(jnp.where(do_merge, -1, seg_id[b]))
+                # a's footprint changed -> candidate row next iteration;
+                # b is emptied and drops out of the status masks anyway
+                dirty = dirty.at[a].set(dirty[a] | do_merge)
+                dirty = dirty.at[b].set(jnp.where(do_merge, False, dirty[b]))
                 n_merges = jnp.where(do_merge, n_merges + 1, -1)
                 return (points, points_valid, desc, desc_count,
                         num_sightings, first_seen, last_seen, seg_id,
-                        status, n_merges)
+                        status, dirty, n_merges)
 
             max_merges = p.max_merges_per_frame
             carry = (points, points_valid, desc, desc_count, num_sightings,
-                     first_seen, last_seen, seg_id, status,
+                     first_seen, last_seen, seg_id, status, dirty0,
                      jnp.zeros((), jnp.int32))
             carry = jax.lax.while_loop(
                 lambda c: (c[-1] >= 0) & (c[-1] < max_merges),
                 merge_once, carry)
             (points, points_valid, desc, desc_count, num_sightings,
-             first_seen, last_seen, seg_id, status, _) = carry
+             first_seen, last_seen, seg_id, status, _, _) = carry
 
             return MapState(
                 points=points, points_valid=points_valid, descriptors=desc,
@@ -344,7 +420,7 @@ class BatchMapper:
                     t, pose, p_, v_, d_, m_ = x
                     pw = jnp.einsum("ij,oqj->oqi", pose[:3, :3], p_) + pose[:3, 3]
                     pw = jnp.where(v_[..., None], pw, 0.0)
-                    return step_fn(st, t, pw, v_, d_, m_), None
+                    return step_fn(st, t, pose[:3, 3], pw, v_, d_, m_), None
 
                 out, _ = jax.lax.scan(body, state, (ts, poses, pts, val, desc, mask))
                 return out
@@ -421,7 +497,9 @@ class BatchMapper:
                 obs_desc[k, : len(d)] = d
             obs_mask[k] = n > 0
         self.state = self._step(
-            self.state, jnp.float32(t), jnp.asarray(obs_pts), jnp.asarray(obs_val),
+            self.state, jnp.float32(t),
+            jnp.asarray(np.asarray(pose)[:3, 3], jnp.float32),
+            jnp.asarray(obs_pts), jnp.asarray(obs_val),
             jnp.asarray(obs_desc), jnp.asarray(obs_mask))
         self.maybe_spill()
 
@@ -558,7 +636,8 @@ class BatchMapper:
     def get_roman_map(self) -> RomanMap:
         """Fetch the pooled map once and export SegmentData records
         (spilled retired segments + the current pool)."""
-        segments, _ = self._export_segments((NURSERY, ACTIVE, RETIRED))
+        segments, _ = self._export_segments(
+            (NURSERY, ACTIVE, INACTIVE, GRAVEYARD))
         segments = list(self._spilled) + segments
         return RomanMap(
             segments=segments,

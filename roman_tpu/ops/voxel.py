@@ -210,12 +210,23 @@ def voxel_iou_cross(
     """
     k1, n1 = _sorted_unique(voxel_keys(points1, mask1, voxel_size))
     k2, n2 = _sorted_unique(voxel_keys(points2, mask2, voxel_size))
-    hit = jnp.any(
-        (k1[:, None, :, None] == k2[None, :, None, :])
-        & (k1[:, None, :, None] != _INVALID),
-        axis=-1,
-    )  # (S, O, P)
-    inter = jnp.sum(hit, axis=-1).astype(jnp.float32)
+    S, P = k1.shape
+    O, Q = k2.shape
+    # binary-search every set-2 key in each set-1 row instead of the
+    # all-pairs broadcast (S,O,P,Q): O(S*O*Q*logP) vs O(S*O*P*Q) — the
+    # broadcast is ~P/logP (30x at P=256) more compare work and a 4-D
+    # intermediate; this is the mapper's per-frame merge hot path, called
+    # inside the merge-to-fixpoint while_loop (batch_mapper.py)
+    flat2 = k2.reshape(-1)  # (O*Q,)
+
+    def row_counts(row):
+        # row: sorted, per-row-unique, _INVALID (int32 max) padded at the
+        # end, so membership == exact equality at the insertion point
+        idx = jnp.searchsorted(row, flat2)
+        got = (row[jnp.clip(idx, 0, P - 1)] == flat2) & (flat2 != _INVALID)
+        return jnp.sum(got.reshape(O, Q), axis=-1)
+
+    inter = jax.vmap(row_counts)(k1).astype(jnp.float32)  # (S, O)
     n1 = n1.astype(jnp.float32)[:, None]
     n2 = n2.astype(jnp.float32)[None, :]
     if iom_as_iou:

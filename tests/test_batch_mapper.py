@@ -242,11 +242,12 @@ def test_retired_spill_prevents_pool_exhaustion(rng):
                           max_segments=24, max_points_per_segment=32)
     m = BatchMapper(params, CameraParams.simple(), desc_dim=4, obs_capacity=8)
     m.spill_check_every = 2
-    pose = np.eye(4)
     n_frames, per_frame = 20, 6
     for f in range(n_frames):
         t = f * 0.2
-        # fresh objects every frame; old ones retire after 0.3 s unseen
+        # moving robot: old objects fall > segment_graveyard_dist behind
+        # and graveyard (then spill); fresh objects appear every frame
+        pose = yaw_T(0.0, np.array([3.0 * f, 0.0, 0.0]))
         obs = [make_obs(rng, np.array([3.0 * f, 4.0 * k, 1.0]), pose, t,
                         n=20, scale=0.1) for k in range(per_frame)]
         m.update(t, pose, obs)

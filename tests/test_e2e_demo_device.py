@@ -37,7 +37,7 @@ def demo_output_device(tmp_path_factory):
                    "min_max_extent": 0.05,
                    "mapper_backend": "device",
                    "max_segments": 256,
-                   "max_points_per_segment": 128}, f)
+                   "max_points_per_segment": 256}, f)
     out = tmp / "out"
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
