@@ -12,6 +12,12 @@ import os
 import shutil
 import sys
 
+# Persistent XLA compile cache: on-chip runs remote-compile the alignment
+# program through the tunnel (minutes); repeat runs with stable program
+# signatures then hit this cache (same setup as bench.py).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/roman_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.realpath(__file__))))

@@ -15,10 +15,12 @@ import jax
 import jax.numpy as jnp
 
 from roman_tpu.ops.se3 import make_T
+from roman_tpu.utils import f32_matmuls
 
 _EPS = 1e-9
 
 
+@f32_matmuls
 def arun(
     pts1: jax.Array,
     pts2: jax.Array,
@@ -61,6 +63,7 @@ def arun(
     return make_T(R, t)
 
 
+@f32_matmuls
 def umeyama_alignment(
     src: jax.Array, dst: jax.Array, with_scale: bool = False
 ):

@@ -39,6 +39,7 @@ import numpy as np
 
 from roman_tpu.ops import se3
 from roman_tpu.rpgo.g2o_io import G2OEdge, G2OGraph, is_loop_closure
+from roman_tpu.utils import f32_matmuls
 
 
 @dataclasses.dataclass
@@ -382,6 +383,7 @@ def solve_arrays(
     barc2 = params.gnc_barc2
 
     @jax.jit
+    @f32_matmuls
     def run(T):
         w = jnp.ones((E,), jnp.float32)
 

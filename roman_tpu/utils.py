@@ -6,9 +6,32 @@ in roman_tpu.ops.se3 / roman_tpu.viz instead).
 
 from __future__ import annotations
 
+import functools
 from os.path import expanduser, expandvars
 
 import numpy as np
+
+
+def f32_matmuls(fn):
+    """Trace `fn` under float32 matmul precision.
+
+    TPU matmuls/einsums default to bf16 MXU rounding; the geometric
+    cores this decorates (Arun/Umeyama rotation composition, pose-graph
+    GN/PCG 6x6 block einsums) are tiny, so f32 costs nothing there but
+    removes centimeter-scale drift in solved transforms (measured on the
+    on-chip demo: identical LC sets to the CPU run, but bf16 transforms
+    moved ATE 0.99 -> 1.22 m before this guard). Works under jit — the
+    context applies at trace time.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        import jax
+
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def expandvars_recursive(path: str) -> str:
