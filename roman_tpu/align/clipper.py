@@ -216,15 +216,15 @@ def round_greedy(u: jax.Array, omega: jax.Array, max_steps: int,
 
 def refine_selection(M4: jax.Array, sel: jax.Array, iters: int = 6,
                      min_support: float = 0.22, rel_support: float = 0.5,
-                     edge_eps: float = 1e-4):
+                     edge_eps: float = 1e-4, target=None):
     """4D-affinity entry point; see refine_selection_2d."""
     return refine_selection_2d(prepare_matrix(M4), sel, iters, min_support,
-                               rel_support, edge_eps)
+                               rel_support, edge_eps, target)
 
 
 def refine_selection_2d(M: jax.Array, sel: jax.Array, iters: int = 6,
                         min_support: float = 0.22, rel_support: float = 0.5,
-                        edge_eps: float = 1e-4):
+                        edge_eps: float = 1e-4, target=None):
     """Iteratively trim a rounded selection to a consistent clique.
 
     Two rules per iteration:
@@ -249,12 +249,34 @@ def refine_selection_2d(M: jax.Array, sel: jax.Array, iters: int = 6,
        a wrong pair over the reference's >=4-association LC acceptance
        (results.py:159), costing precision vs the serial top-omega
        referee (the round-2 0.984-vs-1.000 bench gap).
+
+    `target` (optional, (...,) float — solve_and_round passes the
+    UNPENALIZED omega = u'Mu) caps rule 2: zero-edge drops happen only
+    while the selection is LARGER than round(target). omega is the
+    solver's own density-calibrated clique-size estimate (the quantity
+    the reference's omega rounding thresholds on): with unit diagonal
+    and mean positive edge weight w over a genuine set of size k at
+    density rho, omega ~ 1 + (k-1) rho w. Under heavy odometry drift a
+    genuine match is a SPARSE-but-strong subgraph (epsilon gates most of
+    its edges), not a clique — trimming it to an actual clique (the
+    pre-target behavior) collapsed counts to ~3 and cost all recall at
+    1 m drift, while the serial referee's omega rounding kept the
+    4-subgraph and its Arun transform was fine. Wrong pairs localize the
+    eigenvector on a dense small clique (omega ~ 3) so the cap still
+    lets rule 2 trim their spurious 4th association below the LC gate.
+    The penalized F = u'(M - d Cb)u sits a hair below omega at
+    convergence and rounds 3.5-ish genuine subgraphs down to 3 — use
+    omega here. target=None keeps full trimming.
     """
     batch = sel.shape[:-2]
     n, m = sel.shape[-2], sel.shape[-1]
     N = n * m
     eye = jnp.eye(N, dtype=bool)
     idxs = jnp.arange(N)
+    if target is None:
+        tgt = jnp.zeros(batch + (1,), jnp.float32)  # always allow drops
+    else:
+        tgt = jnp.maximum(jnp.round(target), 0.0)[..., None]
 
     def body(v, _):
         k = jnp.sum(v, axis=-1, keepdims=True)
@@ -269,7 +291,7 @@ def refine_selection_2d(M: jax.Array, sel: jax.Array, iters: int = 6,
                  & selected[..., None, :] & ~eye)
         zc = jnp.sum(zedge, axis=-1)
         viol = selected & (zc > 0)
-        any_viol = jnp.any(viol, axis=-1, keepdims=True)
+        any_viol = jnp.any(viol, axis=-1, keepdims=True) & (k > tgt)
         score = jnp.where(viol, supp, 1e30)  # matches fused _BIG_SCORE
         worst = jnp.min(jnp.where(score <= jnp.min(score, axis=-1,
                                                    keepdims=True),
@@ -298,6 +320,24 @@ def solve_and_round(M4, valid, max_clique: int,
         u, d, F = clipper_pallas.solve_2d(M, n, m, valid, params)
     else:
         u, d, F = solve_2d(M, n, m, valid, params)
+    # clique-size estimate omega = u'Mu on the UNPENALIZED affinity (the
+    # quantity the reference's omega rounding thresholds on). The
+    # penalized objective F = u'(M - d Cb)u sits a hair below it at
+    # convergence, and that hair matters: near-4 genuine subgraphs under
+    # heavy drift round(F) to 3 and get trimmed below the LC gate while
+    # the serial referee's round(u'Mu) keeps 4 (adversarial drift_1.0m
+    # recall 0.375 vs 0.5 before this).
+    batch = u.shape[:-2]
+    N = n * m
+    uf = u.reshape(batch + (N, 1)).astype(jnp.bfloat16)
+    Mu = jnp.matmul(M, uf, preferred_element_type=jnp.float32)
+    omega = jnp.sum(u.reshape(batch + (N,)) * Mu[..., 0], axis=-1)
+    # asymmetric use of the two size estimates: the ROUNDING cap keeps the
+    # penalized F (uncapped when F <= 0) — omega >= 1 always (unit
+    # diagonal), so an omega cap would strangle weak-but-real pairs that
+    # the relative threshold + refinement handle fine — while the REFINE
+    # target uses omega so zero-edge trimming never cuts a sparse genuine
+    # subgraph below the solver's own unpenalized size estimate.
     sel, count = round_greedy(u, F, max_clique)
-    sel, count = refine_selection_2d(M, sel)
+    sel, count = refine_selection_2d(M, sel, target=omega)
     return sel, count, u, F

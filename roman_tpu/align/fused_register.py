@@ -306,8 +306,15 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
     u, d = jax.lax.fori_loop(
         0, params.outer_iters, outer_body, (u, jnp.zeros((K, 1), jnp.float32)))
 
-    Mdu = matvec(u) - d * cb_matvec(u)
+    Mu_last = matvec(u)
+    Mdu = Mu_last - d * cb_matvec(u)
     F_val = jnp.sum(u * Mdu, axis=-1, keepdims=True)     # (K, 1)
+    # unpenalized clique-size estimate omega = u'Mu: the REFINE target
+    # uses this (never trim a sparse genuine subgraph below the solver's
+    # own size estimate), while the ROUNDING cap keeps the penalized F —
+    # omega >= 1 always (unit diagonal), so an omega cap would strangle
+    # weak-but-real pairs. See solve_and_round / refine_selection_2d.
+    omega = jnp.sum(u * Mu_last, axis=-1, keepdims=True)  # (K, 1)
 
     # ================= greedy rounding (clipper.round_greedy) ==============
     max_steps = min(inv.max_clique, min(n, m))
@@ -381,7 +388,13 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
                                preferred_element_type=jnp.float32))
         zc = jnp.concatenate(zcs, axis=0)                      # (K, N)
         viol = (v > 0.5) & (zc > 0.5)
-        any_viol = jnp.any(viol, axis=-1, keepdims=True)
+        # target cap (refine_selection_2d): zero-edge drops only while
+        # the selection is larger than round(F) — the solver's own
+        # clique-size estimate. Sparse-but-strong genuine subgraphs
+        # under heavy drift stop trimming at their true size; wrong
+        # pairs (F ~ 3) still trim below the >=4 LC gate.
+        tgt = jnp.maximum(jnp.round(omega), 0.0)               # (K, 1)
+        any_viol = jnp.any(viol, axis=-1, keepdims=True) & (kk > tgt)
         score = jnp.where(viol, supp, _BIG_SCORE)
         mn = jnp.min(score, axis=-1, keepdims=True)
         worst = jnp.min(jnp.where(score <= mn, idxs, N), axis=-1,

@@ -562,18 +562,30 @@ class BatchMapper:
         pos = 0
         points_valid, pos = take(i32, pos, S * P, (S, P))
         status, pos = take(i32, pos, S, (S,))
-        _, pos = take(i32, pos, S, (S,))  # num_sightings (unused in export)
+        num_sightings, pos = take(i32, pos, S, (S,))
         seg_id, pos = take(i32, pos, S, (S,))
         return (points, points_valid.astype(bool), desc, desc_count,
-                first_seen, last_seen, vol, extent, attrs, status, seg_id)
+                first_seen, last_seen, vol, extent, attrs, status,
+                num_sightings, seg_id)
 
-    def _export_segments(self, statuses):
+    def _export_segments(self, statuses, include_mature_nursery=False):
         """SegmentData records (+ their slot indices) for pool slots whose
-        status is in `statuses`, via the one-dispatch packed export."""
+        status is in `statuses`, via the one-dispatch packed export.
+
+        include_mature_nursery additionally exports NURSERY slots with
+        num_sightings >= min_sightings: the host mapper promotes those
+        within the SAME update (mapper.py:122-127), while the pooled step
+        promotes on the NEXT step — so at export such slots are exactly
+        the segments the host map would already contain."""
         (points, points_valid, desc, desc_count, first_seen, last_seen,
-         vol, extent, attrs, status, seg_id) = self._export_packed()
+         vol, extent, attrs, status, num_sightings,
+         seg_id) = self._export_packed()
+        export_mask = np.isin(status, list(statuses))
+        if include_mature_nursery:
+            export_mask |= (status == NURSERY) & (
+                num_sightings >= self.params.min_sightings)
         segments, slots = [], []
-        for i in np.flatnonzero(np.isin(status, list(statuses))):
+        for i in np.flatnonzero(export_mask):
             pv = points_valid[i]
             if not pv.any():
                 continue
@@ -635,9 +647,19 @@ class BatchMapper:
 
     def get_roman_map(self) -> RomanMap:
         """Fetch the pooled map once and export SegmentData records
-        (spilled retired segments + the current pool)."""
+        (spilled retired segments + the current pool).
+
+        Sub-min_sightings NURSERY slots are excluded: the host/reference
+        map artifact is graveyard + inactive + graduated segments only
+        (mapper.py:335-349 via get_segment_map) — a segment below
+        min_sightings never enters the map. Exporting them shipped
+        end-of-run single-frame fragments that crowded informative far
+        segments out of the submap max_size under nearest-first pruning
+        (the device-mapper e2e world lost 6 of 11 cross-robot LC cells
+        to this). Mature nursery slots (>= min_sightings, promoted by
+        the host within the same update) ARE exported."""
         segments, _ = self._export_segments(
-            (NURSERY, ACTIVE, INACTIVE, GRAVEYARD))
+            (ACTIVE, INACTIVE, GRAVEYARD), include_mature_nursery=True)
         segments = list(self._spilled) + segments
         return RomanMap(
             segments=segments,
