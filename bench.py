@@ -527,6 +527,32 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # TPU-tunnel watchdog: jax.devices() blocks indefinitely in C
+        # land when the axon tunnel is down, which would hang the whole
+        # bench. Probe it on a side thread; if the backend doesn't come
+        # up in time, emit a machine-readable error line and exit
+        # nonzero instead of hanging.
+        import threading
+
+        probe_ok = []
+
+        def _probe():
+            import jax
+
+            probe_ok.append(len(jax.devices()))
+
+        th = threading.Thread(target=_probe, daemon=True)
+        th.start()
+        th.join(timeout=float(os.environ.get("BENCH_TPU_TIMEOUT", "300")))
+        if not probe_ok:
+            print(json.dumps({
+                "metric": "submap_align_pairs_per_sec", "value": None,
+                "unit": "pairs/s", "vs_baseline": None,
+                "error": "tpu backend unavailable (tunnel down?) — "
+                         "rerun when the chip is reachable, or use --cpu",
+            }), flush=True)
+            os._exit(3)
 
     submaps, feats, auxs, cfg, runs = build_workload(
         desc_dim=args.desc_dim, n_robots=args.robots,

@@ -18,12 +18,19 @@ integration/spawn/merge like host Segment._cleanup_points). The host
 Mapper remains the reference implementation; test_batch_mapper.py checks
 host/device agreement on clean AND noisy worlds.
 
-Sizing rule: max_points_per_segment must cover an object's occupied voxel
-count at segment_voxel_size — on overflow, voxel_downsample keeps a
-key-ordered (spatially biased) subset and segment centers drift. For the
-default capacity of 256 use segment_voxel_size >= ~0.1 m for meter-scale
-objects (the host mapper has no capacity and can keep the reference's
-0.05 m).
+Sizing: when an object's occupied voxel count at segment_voxel_size
+exceeds max_points_per_segment, the pool downsample ADAPTIVELY COARSENS
+that segment's voxel size (x2, up to x4) so the spatial footprint is
+preserved at reduced resolution (voxel_downsample max_coarsen_levels),
+with statistical outlier removal running BEFORE the capping pass on the
+uncapped fine-resolution cloud (SOR's tail-trim is resolution-dependent;
+running it post-coarsening under-pruned to 1.8x host volumes). Without
+coarsening, overflow kept an unbiased random voxel subset whose OBB
+shrank to a median 0.74x of the host mapper's unbounded pools on a noisy
+world (extreme voxels each likely dropped); with it the exported volume
+carries a bounded ~1.2x median bias TOWARD the true footprint
+(test_device_mapper_volume_parity). Beyond x4 coarsening the subset
+truncation still applies.
 """
 
 from __future__ import annotations
@@ -182,19 +189,28 @@ class BatchMapper:
                 obs_valid & matched[:, None], mode="drop")
             comb_pts = jnp.concatenate([state.points, add_pts], axis=1)
             comb_val = jnp.concatenate([state.points_valid, add_val], axis=1)
-            new_pts, new_val = voxel_downsample(comb_pts, comb_val, vs_seg, capacity=P)
+            # host-parity order (segment.py:87-93 _cleanup_points):
+            # 1. UNCAPPED fine-resolution downsample (transient, P+Q slots)
+            # 2. statistical outlier removal on the FINE cloud — the SOR
+            #    tail-trim is resolution-dependent (a coarse cloud
+            #    equalizes inter-point spacing and under-prunes: device
+            #    OBB volumes ran 1.8x host when SOR ran post-coarsening)
+            # 3. capped downsample with adaptive coarsening to bound the
+            #    pool (footprint-preserving, see voxel_downsample)
+            fine_pts, fine_val = voxel_downsample(comb_pts, comb_val, vs_seg)
             touched = jnp.zeros((S,), bool).at[seg_of_obs].set(matched, mode="drop")
             if p.segment_outlier_removal_std is not None:
-                # per-insert statistical outlier removal, host Segment
-                # parity (segment.py:87-93: o3d semantics on every
-                # insert). Only touched rows matter (untouched rows are
-                # reverted by the where below), so gather at most O of
-                # them instead of SOR-ing the whole (S, P) pool.
+                # Only touched rows matter (untouched rows are reverted
+                # by the where below), so gather at most O of them
+                # instead of SOR-ing the whole (S, P+Q) pool.
                 t_rows = jnp.argsort(~touched)[: min(O, S)]
                 keep = statistical_outlier_mask(
-                    new_pts[t_rows], new_val[t_rows], 10,
+                    fine_pts[t_rows], fine_val[t_rows], 10,
                     p.segment_outlier_removal_std)
-                new_val = new_val.at[t_rows].set(keep)
+                fine_val = fine_val.at[t_rows].set(keep)
+            new_pts, new_val = voxel_downsample(fine_pts, fine_val, vs_seg,
+                                                capacity=P,
+                                                max_coarsen_levels=2)
             points = jnp.where(touched[:, None, None], new_pts, state.points)
             points_valid = jnp.where(touched[:, None], new_val, state.points_valid)
 
@@ -325,13 +341,16 @@ class BatchMapper:
                 mpts = jnp.concatenate([points[a], points[b]], axis=0)
                 mval = jnp.concatenate([points_valid[a] & do_merge,
                                         points_valid[b] & do_merge], axis=0)
-                md_pts, md_val = voxel_downsample(mpts, mval, vs_seg,
-                                                  capacity=P)
+                # same fine-SOR-then-coarsen order as the integrate path
+                mf_pts, mf_val = voxel_downsample(mpts, mval, vs_seg)
                 if p.segment_outlier_removal_std is not None:
                     # host parity: update_from_segment -> _cleanup_points
-                    md_val = statistical_outlier_mask(
-                        md_pts[None], md_val[None], 10,
+                    mf_val = statistical_outlier_mask(
+                        mf_pts[None], mf_val[None], 10,
                         p.segment_outlier_removal_std)[0]
+                md_pts, md_val = voxel_downsample(mf_pts, mf_val, vs_seg,
+                                                  capacity=P,
+                                                  max_coarsen_levels=2)
                 points = points.at[a].set(
                     jnp.where(do_merge, md_pts, points[a]))
                 points_valid = points_valid.at[a].set(

@@ -113,17 +113,49 @@ def voxel_iou_points(
 
 
 def voxel_downsample(points: jax.Array, mask: jax.Array, voxel_size: float,
-                     capacity: int | None = None):
+                     capacity: int | None = None,
+                     max_coarsen_levels: int = 0):
     """Voxel-grid downsample: average the points in each occupied voxel.
 
     Static-shape equivalent of o3d voxel_down_sample (segment.py:181).
     Output has the same capacity as the input (or `capacity`); slots beyond
     the number of occupied voxels are masked out. Output ordering is by
     voxel key (deterministic), not o3d's ordering.
+
+    max_coarsen_levels > 0 enables per-row ADAPTIVE COARSENING: when a
+    row's occupied-voxel count exceeds `capacity`, the voxel size is
+    doubled (up to that many times, picking the finest level that fits)
+    before downsampling. Without it, overflow keeps the `capacity`
+    lowest-hash voxels — an unbiased random spatial subsample whose
+    bounding box is systematically SMALLER than the footprint (extreme
+    voxels are each likely dropped), which shrank device-mapper OBB
+    volumes to a median 0.74x of the host mapper's unbounded pools on a
+    noisy test world. Coarsening preserves the footprint at reduced
+    resolution instead (median ratio 1.03x, tests/test_batch_mapper.py).
+    Each extra level costs one voxel_keys pass + one key sort.
     """
     n = points.shape[-2]
     cap = capacity or n
     keys = voxel_keys(points, mask, voxel_size)
+    if max_coarsen_levels > 0:
+        key_levels = [keys] + [
+            voxel_keys(points, mask, voxel_size * (2.0 ** lvl))
+            for lvl in range(1, max_coarsen_levels + 1)
+        ]
+        occs = []
+        for k in key_levels:
+            sk = jnp.sort(k, axis=-1)
+            uniq = jnp.concatenate(
+                [jnp.ones_like(sk[..., :1], dtype=bool),
+                 sk[..., 1:] != sk[..., :-1]], axis=-1) & (sk != _INVALID)
+            occs.append(jnp.sum(uniq, axis=-1))
+        occ = jnp.stack(occs, axis=-1)                  # (..., L+1)
+        fits = occ <= cap
+        lvl = jnp.argmax(fits, axis=-1)                 # finest fitting level
+        lvl = jnp.where(jnp.any(fits, axis=-1), lvl, max_coarsen_levels)
+        stacked = jnp.stack(key_levels, axis=-1)        # (..., n, L+1)
+        keys = jnp.take_along_axis(
+            stacked, lvl[..., None, None], axis=-1)[..., 0]
 
     order = jnp.argsort(keys, axis=-1)
     skeys = jnp.take_along_axis(keys, order, axis=-1)

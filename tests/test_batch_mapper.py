@@ -231,6 +231,62 @@ def test_device_mapper_agrees_with_host_noisy(rng):
         3, 0.5 * len(host_centers))
 
 
+def test_device_mapper_volume_parity(rng):
+    """Device-pool capacity must not shrink exported OBB volumes: with
+    fine-resolution SOR followed by adaptive voxel coarsening
+    (voxel_downsample max_coarsen_levels) a 128-point pool tracks the
+    host mapper's unbounded point sets to ~1.2x median volume on the
+    noisy world — a bounded bias TOWARD the true footprint (SOR on the
+    mixed-resolution overflow cloud under-trims noise tails slightly).
+    Plain lowest-hash truncation gave 0.74x median (footprint randomly
+    clipped, bias grows with overflow factor)."""
+    from roman_tpu.data.pose_data import PoseData
+    from roman_tpu.map.run import MapRunner
+    from roman_tpu.params.fastsam_params import FastSAMParams
+
+    source, times, centers = _sim_stream(rng)
+    obs_rng = np.random.default_rng(11)
+
+    def noisy_source(t):
+        pose, obs, fd = source(t)
+        x = pose[0, 3]
+        drift = yaw_T(0.002 * x, np.array([0.01 * x, 0.005 * x, 0.0]))
+        pose_n = drift @ pose
+        obs_n = []
+        for o in obs:
+            pc = np.asarray(o.point_cloud)
+            pc = pc + obs_rng.normal(size=pc.shape) * 0.05
+            obs_n.append(Observation(time=o.time, pose=pose_n,
+                                     point_cloud=pc,
+                                     semantic_descriptor=o.semantic_descriptor))
+        return pose_n, obs_n, fd
+
+    poses = np.stack([noisy_source(t)[0] for t in times])
+    pd = PoseData.from_times_and_poses(times, poses)
+    fp = FastSAMParams(batch_frames=4, max_masks_per_frame=16)
+
+    maps = {}
+    for backend in ("host", "device"):
+        mp = MapperParams(min_sightings=2, max_t_no_sightings=2.0,
+                          geometric_score_range=(0.1, 1.0),
+                          mapper_backend=backend,
+                          max_segments=64, max_points_per_segment=128)
+        runner = MapRunner(mp, fp, CameraParams.simple(), pd,
+                           t0=float(times[0]), tf=float(times[-1]) + 1e-6,
+                           dt=0.5)
+        maps[backend] = runner.run_observations(noisy_source)
+
+    h, d = maps["host"].segments, maps["device"].segments
+    hc = np.stack([s.center for s in h])
+    dc = np.stack([s.center for s in d])
+    D = np.linalg.norm(hc[:, None] - dc[None, :], axis=-1)
+    ratios = [d[int(np.argmin(D[i]))].volume / max(h[i].volume, 1e-9)
+              for i in range(len(h)) if D[i].min() < 1.0]
+    assert len(ratios) >= 5
+    med = float(np.median(ratios))
+    assert 0.85 <= med <= 1.45, ratios
+
+
 def test_retired_spill_prevents_pool_exhaustion(rng):
     """Long trajectory with many transient objects: RETIRED segments must
     spill off-device and free their slots, so the map keeps growing past

@@ -103,6 +103,46 @@ def test_voxel_downsample_matches_numpy(rng):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_voxel_downsample_adaptive_coarsening(rng):
+    """Overflowing the capacity with max_coarsen_levels preserves the
+    footprint (bounding box) by doubling the voxel size per row instead
+    of keeping a random voxel subset (which shrinks the OBB — the
+    device-mapper 0.74x volume bug)."""
+    # Gaussian cloud: extreme voxels are sparse, so a random subset loses
+    # the tails (the OBB-shrink failure mode); coarsening must not
+    pts = rng.normal(size=(400, 3)) * 0.7
+    mask = np.ones(400, dtype=bool)
+    cap = 48  # far fewer than the ~hundreds of occupied 0.1-voxels
+    trunc, trunc_m = voxel.voxel_downsample(
+        jnp.asarray(pts), jnp.asarray(mask), 0.1, capacity=cap)
+    coars, coars_m = voxel.voxel_downsample(
+        jnp.asarray(pts), jnp.asarray(mask), 0.1, capacity=cap,
+        max_coarsen_levels=4)
+    assert int(np.asarray(coars_m).sum()) <= cap
+
+    def span(o, m):
+        o = np.asarray(o)[np.asarray(m)]
+        return (o.max(axis=0) - o.min(axis=0))
+
+    full_span = pts.max(axis=0) - pts.min(axis=0)
+    # coarsened output covers the true footprint; truncated subset doesn't
+    assert (span(coars, coars_m) > 0.85 * full_span).all()
+    assert span(trunc, trunc_m).prod() < 0.85 * span(coars, coars_m).prod()
+    # batched rows pick their level independently: a small row stays at
+    # the fine level (bit-equal to the non-adaptive result)
+    small = rng.uniform(-0.25, 0.25, size=(400, 3))  # <=125 occupied 0.1-voxels
+    both = jnp.asarray(np.stack([pts, small]))
+    bm = jnp.ones((2, 400), bool)
+    ad, ad_m = voxel.voxel_downsample(both, bm, 0.1, capacity=256,
+                                      max_coarsen_levels=4)
+    plain, plain_m = voxel.voxel_downsample(both[1], bm[1], 0.1,
+                                            capacity=256)
+    got = np.asarray(ad[1])[np.asarray(ad_m[1])]
+    ref = np.asarray(plain)[np.asarray(plain_m)]
+    np.testing.assert_allclose(np.sort(got, axis=0), np.sort(ref, axis=0),
+                               atol=1e-6)
+
+
 def test_outlier_removal_agrees_with_numpy(rng):
     pts = rng.normal(size=(50, 3))
     pts[0] = [100, 100, 100]  # obvious outlier
