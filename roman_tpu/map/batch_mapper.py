@@ -541,8 +541,13 @@ class BatchMapper:
                 # export is semantically equivalent to applying it at the
                 # retirement transition — and it runs batched over all
                 # segments in the one export program.
+                # adaptive_spacing_factor: pools stored at a coarsened
+                # resolution (overflowed voxel budget) have inter-point
+                # spacing > the reference eps; scale eps to the actual
+                # spacing so straggler removal still fires there
                 keep = largest_cluster_mask(
-                    state.points, state.points_valid, eps=eps)
+                    state.points, state.points_valid, eps=eps,
+                    adaptive_spacing_factor=1.6)
                 state = state.replace(points_valid=keep)
                 vol, extent = obb_volume_extent(state.points, state.points_valid)
                 attrs = shape_attributes(state.points, state.points_valid)

@@ -51,7 +51,7 @@ def statistical_outlier_mask(
 
 def largest_cluster_mask(
     points: jax.Array, mask: jax.Array, eps: float = 0.25,
-    min_points: int = 10
+    min_points: int = 10, adaptive_spacing_factor: float | None = None
 ) -> jax.Array:
     """Device DBSCAN-equivalent largest-cluster keep-mask (reference
     final_cleanup, segment.py:195-220), static-shape and batched over
@@ -65,6 +65,14 @@ def largest_cluster_mask(
     minimum-label core within eps, noise is dropped. If no cluster
     exists, all points are kept (matching largest_cluster_mask_np).
 
+    adaptive_spacing_factor: when set, the per-row effective eps is
+    max(eps, factor * median nearest-neighbor distance). The reference's
+    fixed eps assumes points at segment-voxel spacing; a pool stored at
+    an adaptively COARSENED resolution (voxel_downsample
+    max_coarsen_levels) has spacing > eps, every point becomes noise,
+    and the keep-all fallback would silently skip straggler removal —
+    scaling eps to the actual spacing keeps the cleanup meaningful.
+
     points (..., P, 3), mask (..., P) -> keep (..., P) subset of mask.
     """
     P = points.shape[-2]
@@ -72,7 +80,21 @@ def largest_cluster_mask(
         (points[..., :, None, :] - points[..., None, :, :]) ** 2, axis=-1
     )
     pair_ok = mask[..., :, None] & mask[..., None, :]
-    within = pair_ok & (d2 <= eps * eps)  # includes self (d2=0)
+    eye = jnp.eye(P, dtype=bool)
+    if adaptive_spacing_factor is not None:
+        nn_d2 = jnp.min(jnp.where(pair_ok & ~eye, d2, _BIG), axis=-1)
+        nn_d = jnp.sqrt(jnp.where(mask & (nn_d2 < _BIG * 0.5), nn_d2, 0.0))
+        # masked median: sort with invalid as +inf, index (nvalid-1)//2
+        srt = jnp.sort(jnp.where(mask & (nn_d > 0), nn_d, jnp.inf), axis=-1)
+        nvalid = jnp.sum(mask & (nn_d > 0), axis=-1)
+        mid = jnp.clip((nvalid - 1) // 2, 0, P - 1)
+        med = jnp.take_along_axis(srt, mid[..., None], axis=-1)[..., 0]
+        med = jnp.where(jnp.isfinite(med), med, 0.0)
+        eps_eff = jnp.maximum(eps, adaptive_spacing_factor * med)
+        eps2 = (eps_eff * eps_eff)[..., None, None]
+    else:
+        eps2 = eps * eps
+    within = pair_ok & (d2 <= eps2)  # includes self (d2=0)
     n_nbr = jnp.sum(within, axis=-1)
     core = mask & (n_nbr >= min_points)
 

@@ -162,6 +162,36 @@ def test_largest_cluster(rng):
     assert keep[:50].all() and not keep[50:].any()
 
 
+def test_largest_cluster_adaptive_eps_on_coarse_clouds(rng):
+    """A cloud stored at coarsened voxel resolution has inter-point
+    spacing above the fixed DBSCAN eps: every point is noise and the
+    keep-all fallback silently skips straggler removal. With
+    adaptive_spacing_factor the eps scales to the actual spacing and the
+    far straggler is still dropped."""
+    # 0.4-spaced grid (spacing > eps 0.25) + one straggler 8 m away
+    g = np.arange(5) * 0.4
+    core = np.stack(np.meshgrid(g, g, g), axis=-1).reshape(-1, 3)
+    pts = np.concatenate([core, [[8.0, 8.0, 8.0]]]).astype(np.float32)
+    mask = np.ones(len(pts), bool)
+    fixed = np.asarray(pointcloud.largest_cluster_mask(
+        jnp.asarray(pts), jnp.asarray(mask), eps=0.25))
+    assert fixed.all()  # no clusters at fixed eps -> keep-all fallback
+    adapt = np.asarray(pointcloud.largest_cluster_mask(
+        jnp.asarray(pts), jnp.asarray(mask), eps=0.25,
+        adaptive_spacing_factor=1.6))
+    assert adapt[:-1].all() and not adapt[-1]
+    # fine-spaced clouds are unaffected (adaptive eps = fixed eps)
+    fine = rng.normal(size=(60, 3)).astype(np.float32) * 0.05
+    fine = np.concatenate([fine, [[5.0, 5.0, 5.0]]]).astype(np.float32)
+    fm = np.ones(len(fine), bool)
+    a = np.asarray(pointcloud.largest_cluster_mask(
+        jnp.asarray(fine), jnp.asarray(fm), eps=0.25))
+    b = np.asarray(pointcloud.largest_cluster_mask(
+        jnp.asarray(fine), jnp.asarray(fm), eps=0.25,
+        adaptive_spacing_factor=1.6))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_largest_cluster_device_matches_sklearn(rng):
     """Device largest_cluster_mask agrees with the sklearn-DBSCAN twin on
     clustered sets with cores, borders and noise — including padding and

@@ -122,6 +122,36 @@ def test_rescue_budget_matches_direct_high_budget_solve(drift_results, cfg):
                                   np.asarray(direct.sel)[17])
 
 
+def test_registrar_timed_mode_applies_rescue(cfg):
+    from roman_tpu.align.submap_align import PairGridRegistrar
+
+    _, pads = _drift_pairs()
+    f1, f2 = _features(pads, cfg)
+    ids = jnp.zeros((18, CAPACITY), jnp.int32)
+    reg = PairGridRegistrar(cfg, chunk_size=6)
+    idx = np.arange(18)
+    res, times = reg(f1, f2, ids, ids, idx, idx, timed=True)
+    assert times.shape == (18,) and (times > 0).all()
+    assert int(np.asarray(res.count)[17]) >= 4  # rescued in timed mode too
+
+
+def test_registrar_no_rescue_for_solvers_without_homotopy(cfg):
+    """register_ransac has no homotopy: converged is None and the rescue
+    guard must pass the result through untouched."""
+    import dataclasses
+
+    from roman_tpu.align.submap_align import PairGridRegistrar
+
+    _, pads = _drift_pairs(n_pairs=3, center_noise=0.1)
+    f1, f2 = _features(pads, cfg)
+    ids = jnp.zeros((3, CAPACITY), jnp.int32)
+    rcfg = dataclasses.replace(cfg, method="ransac", ransac_iter=256)
+    reg = PairGridRegistrar(rcfg, chunk_size=3)
+    res = reg(f1, f2, ids, ids, np.arange(3), np.arange(3))
+    assert res.converged is None
+    assert res.count.shape == (3,)
+
+
 def test_registrar_applies_rescue(cfg):
     from roman_tpu.align.submap_align import PairGridRegistrar
 
