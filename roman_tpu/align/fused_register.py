@@ -78,13 +78,46 @@ class FusedInvariantStatics:
     max_clique: int = 64
 
 
+_SLAB_BUDGET = 26 * 1024 * 1024  # ~6 live f32 (B, N) build slabs
+
+
+def _build_block_rows(N: int) -> int:
+    """Rows per block for the blocked affinity build.
+
+    N <= 1600 (the calibrated capacity-40 flagship) builds the whole
+    (N, N) at once — zero change to the tuned path. Larger N builds in
+    row blocks so the f32 build intermediates live as (B, N) slabs
+    instead of several full (N, N) f32 buffers: that VMEM headroom is
+    what lets capacity 48/64 keep the fused kernel (higher K) instead
+    of collapsing to the XLA engine. Block edges are exact row splits
+    of the same broadcast arithmetic, so the built matrix is bit-equal
+    to the unblocked build.
+
+    B = the largest 16-row-aligned divisor of N <= 1024 whose ~6 live
+    f32 (B, N) slabs fit _SLAB_BUDGET; if none fits the budget, the
+    largest aligned divisor (VMEM pressure then shows up in
+    max_pairs_per_step instead)."""
+    if N <= 1600:
+        return N
+    for B in range(1024, 127, -16):
+        if N % B == 0 and 24 * B * N <= _SLAB_BUDGET:
+            return B
+    for B in range(1024, 127, -16):  # no divisor fits the slab budget
+        if N % B == 0:
+            return B
+    return N
+
+
 def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
             c2_ref, c2t_ref, r2_ref, r2t_ref, d2_ref, d2t_ref,
             valid_ref, validt_ref, row_ref, rowt_ref, col_ref, colt_ref,
             sel_out, count_out, u_out, f_out, m_scratch, mask_scratch,
+            flat_scratch,
             *, n: int, m: int, K: int, inv: FusedInvariantStatics,
             params: ClipperSolveParams):
     N = n * m
+    B = _build_block_rows(N)
+    n_blocks = N // B
     ROW = row_ref[...]           # (N, n) one-hot a-index
     ROWT = rowt_ref[...]         # (n, N)
     COL = col_ref[...]           # (N, m) one-hot b-index
@@ -138,37 +171,26 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
     num_comp = 1 + int(inv.use_ratio) + int(inv.use_cosine)
     vrows = []
     for k in range(K):
-        # ---- pairwise distance consistency (invariants.distance_consistency)
-        D1e, dz1e, dxy1e = pair_geom_flat(
-            *coord_flat(c1_ref[k], c1t_ref[k], ROW, ROWT))
-        D2e, dz2e, dxy2e = pair_geom_flat(
-            *coord_flat(c2_ref[k], c2t_ref[k], COL, COLT))
-        gate = (D1e > inv.mindist) & (D2e > inv.mindist)
-        if inv.gravity:
-            slack = np.sin(inv.gravity_unc_ang_rad) * jnp.maximum(D1e, D2e)
-            cz = jnp.maximum(jnp.abs(dz1e - dz2e) - slack, 0.0)
-            cxy = jnp.abs(dxy1e - dxy2e)
-            cdist = jnp.sqrt(cz * cz + cxy * cxy + 1e-20)
-        else:
-            cdist = jnp.abs(D1e - D2e)
-        sd = jnp.exp(-0.5 * (cdist / inv.sigma) ** 2)
-        sd = jnp.where((cdist < inv.epsilon) & gate, sd, 0.0)
+        # ---- per-association endpoint coordinates as flat vectors ----
+        cols1, rows1 = coord_flat(c1_ref[k], c1t_ref[k], ROW, ROWT)
+        cols2, rows2 = coord_flat(c2_ref[k], c2t_ref[k], COL, COLT)
 
-        # ---- per-association scores, in both (n, m) and (m, n) layouts ----
-        logM = jnp.log(jnp.maximum(sd, 1e-20))
-        nonzero = sd > 0.0
+        # ---- per-association scores as flat col/row vectors ----------
+        # each term contributes its half-log score from both endpoints
+        # (endpoint geometric mean = row add + col add in log space);
+        # the (N, N) broadcast happens per row block below, so only
+        # (N, 1)/(1, N) vectors are live outside the block loop
+        terms = []  # (hl_col (N, 1), hl_row (1, N), fc (N, 1), fr (1, N))
         log_single = jnp.zeros((n, m), jnp.float32)
         single_nz = jnp.ones((n, m), bool)
 
         def add_assoc_term(s_nm, s_mn):
-            """Fold a per-association score into logM / nonzero (both
-            endpoint geometric means, as row+col adds in log space)."""
-            nonlocal logM, nonzero, log_single, single_nz
-            hl_col = 0.5 * jnp.log(jnp.maximum(flat_col(s_mn), 1e-20))
-            hl_row = 0.5 * jnp.log(jnp.maximum(flat_row(s_nm), 1e-20))
-            logM = logM + hl_col + hl_row
-            nonzero = (nonzero & (flat_col(s_mn) > 1e-20)
-                       & (flat_row(s_nm) > 1e-20))
+            nonlocal log_single, single_nz
+            fc = flat_col(s_mn)
+            fr = flat_row(s_nm)
+            hl_col = 0.5 * jnp.log(jnp.maximum(fc, 1e-20))
+            hl_row = 0.5 * jnp.log(jnp.maximum(fr, 1e-20))
+            terms.append((hl_col, hl_row, fc, fr))
             log_single = log_single + jnp.log(jnp.maximum(s_nm, 1e-20))
             single_nz = single_nz & (s_nm > 0)
 
@@ -218,7 +240,6 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
             sc = cos_score(d1, d2t, n, m)
             scT = cos_score(d2, d1t, m, n)
             add_assoc_term(sc, scT)
-        M = jnp.exp(logM / num_comp) * nonzero
 
         n_single = num_comp - 1
         if n_single > 0:
@@ -227,23 +248,92 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
             single_nm = jnp.ones((n, m), jnp.float32)
         validf = valid_ref[k]        # (n, m) f32
         single_nm = jnp.where(validf > 0.5, single_nm, 0.0)
-
-        # ---- structure masks (conflict / diagonal / validity) ----
-        ia = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-        ja = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        same_a = (ia // m) == (ja // m)
-        same_b = (ia % m) == (ja % m)
-        conflict = same_a != same_b
-        diag = same_a & same_b
+        single_row = flat_row(single_nm)                     # (1, N)
         vcol = flat_col(validt_ref[k]) > 0.5                 # (N, 1)
         vrow = flat_row(validf) > 0.5                        # (1, N)
-        valid4 = vcol & vrow
-        M = jnp.where(conflict | diag | ~valid4, 0.0, M)
-        single_row = flat_row(single_nm)                     # (1, N)
-        M = M + jnp.where(diag & valid4, single_row + 0.0 * M, 0.0)
-        # stage through VMEM scratch: forces a canonical bf16 layout for the
-        # matvec operand (a live computed cast trips Mosaic relayout)
-        m_scratch[k] = M.astype(jnp.bfloat16)
+
+        # ---- blocked (N, N) build from the flat vectors --------------
+        # every (N, N) value is a broadcast of the flat vectors, so the
+        # matrix is assembled in (B, N) row slabs (B = N for capacity
+        # <= 40): pairwise distance consistency, log-space term adds,
+        # structure masks, diagonal singles — then cast + store
+        def build_rows(r0, cols1_b, cols2_b, vcol_b, hlcols_b, fcs_b):
+            """Build one (B, N) slab of rows [r0, r0+B) from the (B, 1)
+            row-range slices of the flat column vectors (full-width row
+            vectors are closed over)."""
+            D1e, dz1e, dxy1e = pair_geom_flat(cols1_b, rows1)
+            D2e, dz2e, dxy2e = pair_geom_flat(cols2_b, rows2)
+            gate = (D1e > inv.mindist) & (D2e > inv.mindist)
+            if inv.gravity:
+                slack = np.sin(inv.gravity_unc_ang_rad) * jnp.maximum(D1e, D2e)
+                cz = jnp.maximum(jnp.abs(dz1e - dz2e) - slack, 0.0)
+                cxy = jnp.abs(dxy1e - dxy2e)
+                cdist = jnp.sqrt(cz * cz + cxy * cxy + 1e-20)
+            else:
+                cdist = jnp.abs(D1e - D2e)
+            sd = jnp.exp(-0.5 * (cdist / inv.sigma) ** 2)
+            sd = jnp.where((cdist < inv.epsilon) & gate, sd, 0.0)
+            logM = jnp.log(jnp.maximum(sd, 1e-20))
+            nonzero = sd > 0.0
+            for t, (_, hl_row, _, fr) in enumerate(terms):
+                logM = logM + hlcols_b[t] + hl_row
+                nonzero = nonzero & (fcs_b[t] > 1e-20) & (fr > 1e-20)
+            M = jnp.exp(logM / num_comp) * nonzero
+
+            # ---- structure masks (conflict / diagonal / validity) ----
+            ia = r0 + jax.lax.broadcasted_iota(jnp.int32, (B, N), 0)
+            ja = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+            same_a = (ia // m) == (ja // m)
+            same_b = (ia % m) == (ja % m)
+            conflict = same_a != same_b
+            diag = same_a & same_b
+            valid4 = vcol_b & vrow
+            M = jnp.where(conflict | diag | ~valid4, 0.0, M)
+            M = M + jnp.where(diag & valid4, single_row + 0.0 * M, 0.0)
+            return M.astype(jnp.bfloat16)
+
+        if n_blocks == 1:
+            # stage through VMEM scratch: forces a canonical bf16 layout
+            # for the matvec operand (a live computed cast trips Mosaic
+            # relayout)
+            m_scratch[k] = build_rows(
+                0, cols1, cols2, vcol,
+                [t[0] for t in terms], [t[2] for t in terms])
+        else:
+            # the blocks MUST run under a fori_loop: unrolled, Mosaic
+            # overlaps the blocks' live ranges and spills >100 MB of
+            # (B, N) f32 slabs to VMEM (measured: 124 MB of register-
+            # allocator spill slots at capacity 48, K=4). Mosaic has no
+            # VALUE dynamic_slice, so the flat column vectors are packed
+            # into the flat_scratch ref and each block reads its row
+            # range back with pl.ds (ref loads take dynamic sublane
+            # offsets).
+            cidx = 0
+            for vec in (*cols1, *cols2):
+                flat_scratch[:, cidx:cidx + 1] = vec
+                cidx += 1
+            flat_scratch[:, cidx:cidx + 1] = jnp.where(
+                vcol, 1.0, jnp.zeros((N, 1), jnp.float32))
+            cidx += 1
+            for hl_col, _, fc, _ in terms:
+                flat_scratch[:, cidx:cidx + 1] = hl_col
+                flat_scratch[:, cidx + 1:cidx + 2] = fc
+                cidx += 2
+
+            def build_body(blk, carry):
+                r0 = blk * B
+                fs = flat_scratch[pl.ds(r0, B), :]
+                cols1_b = [fs[:, q:q + 1] for q in range(3)]
+                cols2_b = [fs[:, 3 + q:4 + q] for q in range(3)]
+                vcol_b = fs[:, 6:7] > 0.5
+                hlcols_b = [fs[:, 7 + 2 * t:8 + 2 * t]
+                            for t in range(len(terms))]
+                fcs_b = [fs[:, 8 + 2 * t:9 + 2 * t]
+                         for t in range(len(terms))]
+                m_scratch[k, pl.ds(r0, B), :] = build_rows(
+                    r0, cols1_b, cols2_b, vcol_b, hlcols_b, fcs_b)
+                return carry
+            jax.lax.fori_loop(0, n_blocks, build_body, 0)
         vrows.append(vrow.astype(jnp.float32))
 
     validf = jnp.concatenate(vrows, axis=0)                  # (K, N)
@@ -369,23 +459,52 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
         # iotas are (re)built INSIDE this loop body: an i1 (N, N) vector
         # carried across the fori_loop region boundary trips a Mosaic
         # "invalid relayout" on real hardware.
-        iaN = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-        jaN = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        # single select whose on-false branch is a full (N, N) vector:
-        # Mosaic rejects a big-shape select with two scalar branches
-        # ("invalid relayout" of the i1 predicate on real hardware), and
-        # likewise an i1-from-VMEM-data ANDed with an i1-from-iota; this
-        # form (predicate from data, one vector operand from iota) is
-        # the same shape as the build phase's working masks
-        nondiag_f = jnp.where(iaN == jaN, 0.0, jnp.ones((N, N), jnp.float32))
-        zcs = []
-        for k in range(K):
-            mask = jnp.where(m_scratch[k].astype(jnp.float32)
+        # the mask is built in the same (B, N) row slabs as the affinity
+        # (mask_scratch is (B, N)); zc accumulates the per-block
+        # (1, B) x (B, N) partial counts — sums of 0/1 edge indicators,
+        # so the contraction split is exact. Like the build, the block
+        # loop runs under fori_loop so Mosaic cannot overlap the
+        # blocks' (B, N) f32 mask intermediates (spill blowup).
+        def zc_block(k, r0, m_blk, v_blk):
+            iaB = r0 + jax.lax.broadcasted_iota(jnp.int32, (B, N), 0)
+            jaB = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+            # single select whose on-false branch is a full (B, N)
+            # vector: Mosaic rejects a big-shape select with two scalar
+            # branches ("invalid relayout" of the i1 predicate on real
+            # hardware), and likewise an i1-from-VMEM-data ANDed with
+            # an i1-from-iota; this form (predicate from data, one
+            # vector operand from iota) is the same shape as the build
+            # phase's working masks
+            nondiag_f = jnp.where(
+                iaB == jaB, 0.0, jnp.ones((B, N), jnp.float32))
+            mask = jnp.where(m_blk.astype(jnp.float32)
                              > inv.edge_eps, 0.0, nondiag_f)
             mask_scratch[...] = mask.astype(jnp.bfloat16)
-            zcs.append(jnp.dot(v[k:k + 1].astype(jnp.bfloat16),
-                               mask_scratch[...],
-                               preferred_element_type=jnp.float32))
+            return jnp.dot(v_blk.astype(jnp.bfloat16), mask_scratch[...],
+                           preferred_element_type=jnp.float32)
+
+        zcs = []
+        for k in range(K):
+            if n_blocks == 1:
+                zcs.append(zc_block(k, 0, m_scratch[k], v[k:k + 1]))
+            else:
+                def zc_body(blk, acc, k=k):
+                    r0 = blk * B
+                    m_blk = m_scratch[k, pl.ds(r0, B), :]
+                    # v's (1, B) block via an exact 0/1 selector dot —
+                    # Mosaic has no VALUE dynamic_slice; the selector is
+                    # built from iotas (one vector branch in the select,
+                    # the Mosaic-safe form used throughout this kernel)
+                    iN = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
+                    jB = jax.lax.broadcasted_iota(jnp.int32, (N, B), 1)
+                    S = jnp.where(iN == r0 + jB,
+                                  jnp.ones((N, B), jnp.float32), 0.0)
+                    v_blk = jnp.dot(v[k:k + 1], S,
+                                    preferred_element_type=jnp.float32,
+                                    precision=_hi)
+                    return acc + zc_block(k, r0, m_blk, v_blk)
+                zcs.append(jax.lax.fori_loop(
+                    0, n_blocks, zc_body, jnp.zeros((1, N), jnp.float32)))
         zc = jnp.concatenate(zcs, axis=0)                      # (K, N)
         viol = (v > 0.5) & (zc > 0.5)
         # target cap (refine_selection_2d): zero-edge drops only while
@@ -471,7 +590,11 @@ def _fused_flat(c1, r1, d1, c2, r2, d2, valid, n: int, m: int,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((K, N, N), jnp.bfloat16),
-                        pltpu.VMEM((N, N), jnp.bfloat16)],
+                        pltpu.VMEM((_build_block_rows(N), N), jnp.bfloat16),
+                        # flat-vector pack for the blocked build (ref-
+                        # based dynamic row addressing); unused when
+                        # n_blocks == 1
+                        pltpu.VMEM((N, 128), jnp.float32)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -485,16 +608,32 @@ def _fused_flat(c1, r1, d1, c2, r2, d2, valid, n: int, m: int,
 def max_pairs_per_step(N: int, vmem_budget: int = 110 * 1024 * 1024) -> int:
     """Largest kernel K that fits VMEM at association-matrix size N=n*m.
 
-    Footprint model: (K+1) bf16 (N, N) scratch matrices (K pair
-    affinities + the shared zero-edge mask) plus ~4 f32 (N, N)
-    affinity-build intermediates. Calibrated on v5e (128 MB VMEM,
-    110 MB compiler budget): K=4 fits at N=1600 (capacity 40), K=3
-    overflows but K=1 fits at N=2304 (capacity 48). Returns 0 when even
-    K=1 overflows — callers should use the XLA engine (capacity 64+).
+    Footprint model for the blocked build (B = _build_block_rows(N)):
+    K bf16 (N, N) pair matrices + one bf16 (B, N) zero-edge mask
+    scratch + ~6 live f32 (B, N) build slabs + the 4 f32 flat-index
+    selector matrices (~N*sqrt(N) each) + fixed slush for flat vectors
+    and pipeline buffers. Calibrated on v5e (128 MB VMEM, 110 MB
+    compiler budget): at N=1600 (capacity 40, B=N full build) the old
+    calibrated model is kept unchanged; the blocked build (which also
+    charges one (N, N) bf16 solve-phase matvec value copy per pair)
+    keeps K=3 at N=2304 (capacity 48) and K=1 at N=4096 (capacity 64)
+    where the unblocked build fell to K=1 / XLA fallback. Returns 0
+    when even K=1 overflows — callers should use the XLA engine.
     """
+    B = _build_block_rows(N)
     per = 2 * N * N  # one bf16 (N, N)
-    overhead = per + 8 * per  # mask scratch + ~4 f32 intermediates
-    return max((vmem_budget - overhead) // per, 0)
+    nmax = int(np.ceil(np.sqrt(N)))
+    if B == N:
+        # full build: the old calibrated model (N=1600: K=4 measured ok)
+        overhead = per + 8 * per  # mask scratch + ~4 f32 intermediates
+        return max((vmem_budget - overhead) // per, 0)
+    overhead = (2 * B * N            # bf16 zero-edge mask scratch
+                + 24 * B * N         # ~6 live f32 (B, N) build slabs
+                + 16 * N * nmax      # 4 f32 selector matrices
+                + 8 * 1024 * 1024)   # flat vectors + pipeline slush
+    # blocked sizes additionally charge one (N, N) bf16 matvec value
+    # copy per pair matrix (solve-phase m_scratch[k] loads)
+    return max((vmem_budget - overhead) // (2 * per), 0)
 
 
 def fused_register(f1, f2, inv: FusedInvariantStatics,
@@ -508,9 +647,10 @@ def fused_register(f1, f2, inv: FusedInvariantStatics,
     F (...,) f32) — the solve_and_round contract.
 
     pairs_per_step is clamped to max_pairs_per_step(n*m) so large
-    submap capacities degrade to a smaller K (capacity 48: K=1, 1136
-    pairs/s on v5e vs 589 XLA) instead of overflowing VMEM; raises
-    ValueError when no K fits (caller falls back to the XLA engine).
+    submap capacities degrade to a smaller K (with the blocked build:
+    capacity 48 keeps K=3, capacity 64 runs K=1) instead of overflowing
+    VMEM; raises ValueError when no K fits (caller falls back to the
+    XLA engine).
     """
     n = f1.capacity
     m = f2.capacity

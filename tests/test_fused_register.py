@@ -101,6 +101,43 @@ def test_fused_unequal_capacities(rng):
     assert np.array_equal(np.asarray(rx.count), np.asarray(rp.count))
 
 
+def test_fused_blocked_build_matches_xla(rng, monkeypatch):
+    """Force the blocked (B < N) affinity build at a small capacity and
+    pin it to the XLA path. Block edges are exact row splits of the same
+    broadcast arithmetic, so sel/count must be identical to the full
+    build; this covers the capacity-48/64 kernel configuration without a
+    slow interpret-mode solve at N=2304."""
+    import roman_tpu.align.fused_register as fr
+
+    monkeypatch.setattr(fr, "_build_block_rows", lambda N: 64)
+    f1, f2 = _features(rng, cap=16)  # N=256 -> 4 blocks of 64
+    kw = dict(method="roman", cos_min=0.5, cos_max=0.9)
+    rx = register_clipper(f1, f2, RegistrationConfig(**kw))
+    rp = register_clipper(
+        f1, f2,
+        RegistrationConfig(**kw, use_pallas=True, pallas_interpret=True,
+                           pallas_pairs_per_step=2),
+    )
+    assert np.array_equal(np.asarray(rx.sel), np.asarray(rp.sel))
+    assert np.array_equal(np.asarray(rx.count), np.asarray(rp.count))
+    np.testing.assert_allclose(np.asarray(rx.u), np.asarray(rp.u), atol=2e-3)
+
+
+def test_build_block_rows_model():
+    """Block-size + VMEM-model invariants for the capacities we ship."""
+    from roman_tpu.align.fused_register import (_build_block_rows,
+                                                max_pairs_per_step)
+
+    assert _build_block_rows(1600) == 1600          # capacity 40: full build
+    for cap in (48, 56, 64, 80):
+        N = cap * cap
+        B = _build_block_rows(N)
+        assert N % B == 0 and B % 16 == 0
+    assert max_pairs_per_step(1600) >= 4            # flagship keeps K=4
+    assert max_pairs_per_step(48 * 48) >= 2         # capacity 48 stays fused
+    assert max_pairs_per_step(64 * 64) >= 1         # capacity 64 stays fused
+
+
 def test_fused_all_invalid(rng):
     """Fully-padded (invalid) pairs must yield zero associations, not NaNs."""
     f1, f2 = _features(rng, P=2)
