@@ -1,7 +1,55 @@
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+_GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "perception_golden.npz")
+
+
+def _golden(prefix):
+    """(state_dict, image, expected) from the committed torch-activation
+    fixture (tests/fixtures/gen_perception_golden.py) — converter parity
+    is regression-tested without a live torch install (the converters
+    accept plain numpy dicts)."""
+    data = np.load(_GOLDEN)
+    sd = {k[len(prefix) + 4:]: data[k] for k in data.files
+          if k.startswith(prefix + ".sd.")}
+    return sd, data["image"], data[[k for k in data.files
+                                    if k.startswith(prefix + ".expected")][0]]
+
+
+def test_dinov2_matches_golden():
+    """Converter + flax forward vs frozen torch activations — runs in any
+    environment (no torch needed; protects the contract of reference
+    roman/map/fastsam_wrapper.py:184-188)."""
+    from roman_tpu.perception import dinov2
+    from roman_tpu.perception.vit import ViT, ViTConfig
+
+    sd, img, expected = _golden("dinov2")
+    jcfg = ViTConfig(width=32, depth=2, heads=4, patch=14, img_size=56,
+                     layerscale=True, dtype=jnp.float32)
+    params = dinov2.convert_torch_state_dict(sd, jcfg)
+    cls_out, patches = ViT(jcfg).apply(params, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(cls_out), expected[:, 0], atol=2e-4)
+    got_patches = np.asarray(patches).reshape(2, -1, 32)
+    np.testing.assert_allclose(got_patches, expected[:, 1:], atol=2e-4)
+
+
+def test_clip_matches_golden():
+    from roman_tpu.perception import clip as clip_mod
+    from roman_tpu.perception.vit import ViT, ViTConfig
+
+    sd, img, expected = _golden("clip")
+    jcfg = ViTConfig(width=32, depth=2, heads=4, patch=14, img_size=56,
+                     layerscale=False, quick_gelu=True, pre_ln=True,
+                     proj_dim=16, patch_bias=False, ln_eps=1e-5,
+                     dtype=jnp.float32)
+    params = clip_mod.convert_torch_state_dict(sd, jcfg)
+    cls_out, _ = ViT(jcfg).apply(params, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(cls_out), expected, atol=2e-4)
 
 
 def test_dinov2_matches_transformers(rng):
