@@ -278,6 +278,14 @@ def refine_selection_2d(M: jax.Array, sel: jax.Array, iters: int = 6,
     else:
         tgt = jnp.maximum(jnp.round(target), 0.0)[..., None]
 
+    # clique-enforcement zero-edge matrix: depends only on M, so it is
+    # materialized ONCE (bf16, behind a barrier like M itself — XLA
+    # otherwise recomputes the comparison inside every scan step) and
+    # each iteration counts zero edges with a matvec. 0/1 bf16 products
+    # with f32 accumulation are exact integer counts.
+    Z = jnp.where((M.astype(jnp.float32) <= edge_eps) & ~eye, 1.0, 0.0)
+    Z = jax.lax.optimization_barrier(Z.astype(jnp.bfloat16))
+
     def body(v, _):
         k = jnp.sum(v, axis=-1, keepdims=True)
         mv = jnp.matmul(M, v[..., None].astype(jnp.bfloat16),
@@ -287,10 +295,9 @@ def refine_selection_2d(M: jax.Array, sel: jax.Array, iters: int = 6,
         keep = supp >= jnp.maximum(rel_support * mean_supp, min_support)
         # clique enforcement: count zero edges to other selected nodes
         selected = v > 0.5
-        zedge = ((M.astype(jnp.float32) <= edge_eps)
-                 & selected[..., None, :] & ~eye)
-        zc = jnp.sum(zedge, axis=-1)
-        viol = selected & (zc > 0)
+        zc = jnp.matmul(Z, v[..., None].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)[..., 0]
+        viol = selected & (zc > 0.5)
         any_viol = jnp.any(viol, axis=-1, keepdims=True) & (k > tgt)
         score = jnp.where(viol, supp, 1e30)  # matches fused _BIG_SCORE
         worst = jnp.min(jnp.where(score <= jnp.min(score, axis=-1,

@@ -443,85 +443,126 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
     _, _, sel, _ = jax.lax.fori_loop(0, max_steps, round_body, init)
 
     # ============ support refinement (clipper.refine_selection_2d) =========
-    def refine_body(_, v):
-        kk = jnp.sum(v, axis=-1, keepdims=True)
-        mv = matvec(v)
-        supp = mv / jnp.maximum(kk - 1.0, 1.0)
-        mean_supp = jnp.sum(supp * v, axis=-1, keepdims=True) / jnp.maximum(
-            kk, 1.0)
-        keep = supp >= jnp.maximum(inv.rel_support * mean_supp,
-                                   inv.min_support)
-        # clique enforcement (refine_selection_2d rule 2): count zero
-        # edges to other selected nodes via a masked matvec — the 0/1
-        # zero-edge mask is a computed bf16 matrix, so it is staged
-        # through VMEM scratch before the MXU reads it (M is symmetric,
-        # so v @ mask gives the per-node count directly). The diagonal
-        # iotas are (re)built INSIDE this loop body: an i1 (N, N) vector
-        # carried across the fori_loop region boundary trips a Mosaic
-        # "invalid relayout" on real hardware.
-        # the mask is built in the same (B, N) row slabs as the affinity
-        # (mask_scratch is (B, N)); zc accumulates the per-block
-        # (1, B) x (B, N) partial counts — sums of 0/1 edge indicators,
-        # so the contraction split is exact. Like the build, the block
-        # loop runs under fori_loop so Mosaic cannot overlap the
-        # blocks' (B, N) f32 mask intermediates (spill blowup).
-        def zc_block(k, r0, m_blk, v_blk):
-            iaB = r0 + jax.lax.broadcasted_iota(jnp.int32, (B, N), 0)
-            jaB = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
-            # single select whose on-false branch is a full (B, N)
-            # vector: Mosaic rejects a big-shape select with two scalar
-            # branches ("invalid relayout" of the i1 predicate on real
-            # hardware), and likewise an i1-from-VMEM-data ANDed with
-            # an i1-from-iota; this form (predicate from data, one
-            # vector operand from iota) is the same shape as the build
-            # phase's working masks
-            nondiag_f = jnp.where(
-                iaB == jaB, 0.0, jnp.ones((B, N), jnp.float32))
-            mask = jnp.where(m_blk.astype(jnp.float32)
-                             > inv.edge_eps, 0.0, nondiag_f)
-            mask_scratch[...] = mask.astype(jnp.bfloat16)
-            return jnp.dot(v_blk.astype(jnp.bfloat16), mask_scratch[...],
-                           preferred_element_type=jnp.float32)
+    # clique enforcement (refine_selection_2d rule 2) counts zero edges
+    # to other selected nodes via a masked matvec — the 0/1 zero-edge
+    # mask depends ONLY on M, so it is built ONCE per pair and the
+    # refine iterations reuse it (rebuilding it per iteration measurably
+    # dominated the refine phase: 6 extra (N, N) mask builds per pair).
+    # The 0/1 mask is a computed bf16 matrix, staged through VMEM
+    # scratch before the MXU reads it (M is symmetric, so v @ mask gives
+    # the per-node count directly). The diagonal iotas are built in the
+    # same straight-line region as the mask (an i1 (N, N) vector carried
+    # across a fori_loop region boundary trips a Mosaic "invalid
+    # relayout" on real hardware).
+    def zc_mask_block(r0, m_blk):
+        iaB = r0 + jax.lax.broadcasted_iota(jnp.int32, (B, N), 0)
+        jaB = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+        # single select whose on-false branch is a full (B, N)
+        # vector: Mosaic rejects a big-shape select with two scalar
+        # branches ("invalid relayout" of the i1 predicate on real
+        # hardware), and likewise an i1-from-VMEM-data ANDed with
+        # an i1-from-iota; this form (predicate from data, one
+        # vector operand from iota) is the same shape as the build
+        # phase's working masks
+        nondiag_f = jnp.where(
+            iaB == jaB, 0.0, jnp.ones((B, N), jnp.float32))
+        return jnp.where(m_blk.astype(jnp.float32)
+                         > inv.edge_eps, 0.0, nondiag_f)
 
-        zcs = []
-        for k in range(K):
-            if n_blocks == 1:
-                zcs.append(zc_block(k, 0, m_scratch[k], v[k:k + 1]))
-            else:
+    def refine_pair(k, vk):
+        """refine_iters trims of pair k's selection vk (1, N); the
+        pair's zero-edge mask is live in mask_scratch."""
+        idxs1 = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        tgt = jnp.maximum(jnp.round(omega[k:k + 1]), 0.0)      # (1, 1)
+
+        def body(_, v):
+            kk = jnp.sum(v, axis=-1, keepdims=True)
+            mv = jnp.dot(v.astype(jnp.bfloat16), m_scratch[k],
+                         preferred_element_type=jnp.float32)
+            supp = mv / jnp.maximum(kk - 1.0, 1.0)
+            mean_supp = jnp.sum(supp * v, axis=-1, keepdims=True) \
+                / jnp.maximum(kk, 1.0)
+            keep = supp >= jnp.maximum(inv.rel_support * mean_supp,
+                                       inv.min_support)
+            zc = jnp.dot(v.astype(jnp.bfloat16), mask_scratch[...],
+                         preferred_element_type=jnp.float32)
+            viol = (v > 0.5) & (zc > 0.5)
+            # target cap (refine_selection_2d): zero-edge drops only
+            # while the selection is larger than round(omega) — the
+            # solver's own clique-size estimate. Sparse-but-strong
+            # genuine subgraphs under heavy drift stop trimming at
+            # their true size; wrong pairs (omega ~ 3) still trim
+            # below the >=4 LC gate.
+            any_viol = jnp.any(viol, axis=-1, keepdims=True) & (kk > tgt)
+            score = jnp.where(viol, supp, _BIG_SCORE)
+            mn = jnp.min(score, axis=-1, keepdims=True)
+            worst = jnp.min(jnp.where(score <= mn, idxs1, N), axis=-1,
+                            keepdims=True)
+            drop = ((idxs1 == worst) & any_viol).astype(jnp.float32)
+            return v * keep * (1.0 - drop)
+
+        return jax.lax.fori_loop(0, inv.refine_iters, body, vk)
+
+    sels = []
+    for k in range(K):
+        if n_blocks == 1:
+            mask_scratch[...] = zc_mask_block(0, m_scratch[k]).astype(
+                jnp.bfloat16)
+            sels.append(refine_pair(k, sel[k:k + 1]))
+        else:
+            # blocked case: mask_scratch only holds one (B, N) slab, so
+            # the zc matvec rebuilds mask blocks per iteration under a
+            # fori_loop (Mosaic must not overlap the blocks' (B, N) f32
+            # intermediates — spill blowup). zc accumulates per-block
+            # (1, B) x (B, N) partial counts — sums of 0/1 edge
+            # indicators, so the contraction split is exact.
+            idxs1 = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+            tgt = jnp.maximum(jnp.round(omega[k:k + 1]), 0.0)
+
+            def blocked_body(_, v, k=k, idxs1=idxs1, tgt=tgt):
+                kk = jnp.sum(v, axis=-1, keepdims=True)
+                mv = jnp.dot(v.astype(jnp.bfloat16), m_scratch[k],
+                             preferred_element_type=jnp.float32)
+                supp = mv / jnp.maximum(kk - 1.0, 1.0)
+                mean_supp = jnp.sum(supp * v, axis=-1, keepdims=True) \
+                    / jnp.maximum(kk, 1.0)
+                keep = supp >= jnp.maximum(inv.rel_support * mean_supp,
+                                           inv.min_support)
+
                 def zc_body(blk, acc, k=k):
                     r0 = blk * B
                     m_blk = m_scratch[k, pl.ds(r0, B), :]
                     # v's (1, B) block via an exact 0/1 selector dot —
-                    # Mosaic has no VALUE dynamic_slice; the selector is
-                    # built from iotas (one vector branch in the select,
-                    # the Mosaic-safe form used throughout this kernel)
+                    # Mosaic has no VALUE dynamic_slice; the selector
+                    # is built from iotas (one vector branch in the
+                    # select, the Mosaic-safe form used throughout)
                     iN = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
                     jB = jax.lax.broadcasted_iota(jnp.int32, (N, B), 1)
                     S = jnp.where(iN == r0 + jB,
                                   jnp.ones((N, B), jnp.float32), 0.0)
-                    v_blk = jnp.dot(v[k:k + 1], S,
+                    v_blk = jnp.dot(v, S,
                                     preferred_element_type=jnp.float32,
                                     precision=_hi)
-                    return acc + zc_block(k, r0, m_blk, v_blk)
-                zcs.append(jax.lax.fori_loop(
-                    0, n_blocks, zc_body, jnp.zeros((1, N), jnp.float32)))
-        zc = jnp.concatenate(zcs, axis=0)                      # (K, N)
-        viol = (v > 0.5) & (zc > 0.5)
-        # target cap (refine_selection_2d): zero-edge drops only while
-        # the selection is larger than round(F) — the solver's own
-        # clique-size estimate. Sparse-but-strong genuine subgraphs
-        # under heavy drift stop trimming at their true size; wrong
-        # pairs (F ~ 3) still trim below the >=4 LC gate.
-        tgt = jnp.maximum(jnp.round(omega), 0.0)               # (K, 1)
-        any_viol = jnp.any(viol, axis=-1, keepdims=True) & (kk > tgt)
-        score = jnp.where(viol, supp, _BIG_SCORE)
-        mn = jnp.min(score, axis=-1, keepdims=True)
-        worst = jnp.min(jnp.where(score <= mn, idxs, N), axis=-1,
-                        keepdims=True)
-        drop = ((idxs == worst) & any_viol).astype(jnp.float32)
-        return v * keep * (1.0 - drop)
+                    mask_scratch[...] = zc_mask_block(r0, m_blk).astype(
+                        jnp.bfloat16)
+                    return acc + jnp.dot(
+                        v_blk.astype(jnp.bfloat16), mask_scratch[...],
+                        preferred_element_type=jnp.float32)
 
-    sel = jax.lax.fori_loop(0, inv.refine_iters, refine_body, sel)
+                zc = jax.lax.fori_loop(0, n_blocks, zc_body,
+                                       jnp.zeros((1, N), jnp.float32))
+                viol = (v > 0.5) & (zc > 0.5)
+                any_viol = jnp.any(viol, axis=-1, keepdims=True) & (kk > tgt)
+                score = jnp.where(viol, supp, _BIG_SCORE)
+                mn = jnp.min(score, axis=-1, keepdims=True)
+                worst = jnp.min(jnp.where(score <= mn, idxs1, N), axis=-1,
+                                keepdims=True)
+                drop = ((idxs1 == worst) & any_viol).astype(jnp.float32)
+                return v * keep * (1.0 - drop)
+
+            sels.append(jax.lax.fori_loop(0, inv.refine_iters, blocked_body,
+                                          sel[k:k + 1]))
+    sel = jnp.concatenate(sels, axis=0)
     count = jnp.sum((sel > 0.5).astype(jnp.float32), axis=-1, keepdims=True)
 
     sel_out[0] = sel

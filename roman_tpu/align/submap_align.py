@@ -48,6 +48,60 @@ from roman_tpu.params.submap_align_params import (
 from roman_tpu.utils import aabb_intersects, expandvars_recursive
 
 
+def _pack_result(res: RegistrationResult) -> jax.Array:
+    """Flatten a batched RegistrationResult into ONE small int32 array.
+
+    Host<->device transfers on the tunneled deployment cost fixed latency
+    PER ARRAY plus size-dependent tunnel time, so fetching the 6 result
+    fields separately (and sel at one f32 per bool) dominated the wall
+    clock of a batched dispatch. Layout along the last axis:
+    [sel bitfield (ceil(n*m/32) words, little-endian within each word),
+     count (1), T_align (16, f32 bitcast), ok (1), score (1, f32
+     bitcast), converged (1 if present)]. Exact: ints stay ints, floats
+    are bitcast. The solver certificate u is debug-only and dropped."""
+    batch = res.sel.shape[:-2]
+    nm = res.sel.shape[-2] * res.sel.shape[-1]
+    words = (nm + 31) // 32
+    bits = res.sel.reshape(batch + (nm,)).astype(jnp.int32)
+    pad = words * 32 - nm
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(batch + (pad,), jnp.int32)], axis=-1)
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    packed_sel = jnp.sum(
+        bits.reshape(batch + (words, 32)) << shifts, axis=-1)
+    f2i = lambda x: jax.lax.bitcast_convert_type(
+        x.astype(jnp.float32), jnp.int32)
+    cols = [
+        packed_sel,
+        res.count[..., None].astype(jnp.int32),
+        f2i(res.T_align).reshape(batch + (16,)),
+        res.ok[..., None].astype(jnp.int32),
+        f2i(res.score)[..., None],
+    ]
+    if res.converged is not None:
+        cols.append(res.converged[..., None].astype(jnp.int32))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _unpack_result(arr: np.ndarray, n: int, m: int,
+                   has_converged: bool) -> RegistrationResult:
+    """Inverse of _pack_result over a host numpy array (..., W)."""
+    nm = n * m
+    words = (nm + 31) // 32
+    bits = (arr[..., :words, None] >> np.arange(32)) & 1
+    sel = bits.reshape(arr.shape[:-1] + (words * 32,))[..., :nm]
+    sel = sel.reshape(arr.shape[:-1] + (n, m)) > 0
+    i2f = lambda x: x.astype(np.int32).view(np.float32)
+    count = arr[..., words].astype(np.int32)
+    T = i2f(arr[..., words + 1:words + 17]).reshape(arr.shape[:-1] + (4, 4))
+    ok = arr[..., words + 17] > 0
+    score = i2f(arr[..., words + 18])
+    converged = arr[..., words + 19] > 0 if has_converged else None
+    return RegistrationResult(sel=sel, count=count, T_align=T, ok=ok,
+                              u=None, score=score, converged=converged)
+
+
 class PairGridRegistrar:
     """Registers arbitrary batches of submap pairs with one compiled program.
 
@@ -204,7 +258,7 @@ class PairGridRegistrar:
                     ci, cj = chunk
                     return fn(feats1, feats2, ids1_all, ids2_all, ci, cj, key)
 
-                return jax.lax.map(one, (idx_i, idx_j))
+                return _pack_result(jax.lax.map(one, (idx_i, idx_j)))
 
             self._jitted[sig] = jax.jit(all_chunks)
         return self._jitted[sig]
@@ -235,6 +289,9 @@ class PairGridRegistrar:
         idx_j[:P] = pair_j
         key = jax.random.PRNGKey(seed)
 
+        n_cap, m_cap = feats1.capacity, feats2.capacity
+        has_conv = self.cfg.method != "ransac"
+
         if timed:
             chunks = []
             times = np.zeros(total)
@@ -246,20 +303,18 @@ class PairGridRegistrar:
                         jnp.asarray(idx_j[c * C:(c + 1) * C].reshape(1, C)),
                         key)
                 try:
-                    r = self._get_jitted((C, 1))(*args)
+                    r = np.asarray(self._get_jitted((C, 1))(*args))
                 except Exception as e:
                     if not self.cfg.pallas_enabled():
                         raise
                     self._fallback_to_xla(e)
-                    r = self._get_jitted((C, 1))(*args)
-                r = jax.tree.map(np.asarray, r.replace(u=None))
+                    r = np.asarray(self._get_jitted((C, 1))(*args))
                 dt = time.perf_counter() - t0
                 times[c * C:(c + 1) * C] = dt / C
                 chunks.append(r)
-            res = jax.tree.map(
-                lambda *xs: np.concatenate(xs, axis=0), *chunks)
-            res = jax.tree.map(
-                lambda x: x.reshape((total,) + x.shape[2:])[:P], res)
+            packed = np.concatenate(chunks, axis=0)
+            packed = packed.reshape((total,) + packed.shape[2:])[:P]
+            res = _unpack_result(packed, n_cap, m_cap, has_conv)
             res = self._apply_rescue(res, feats1, feats2, ids1_all,
                                      ids2_all, pair_i, pair_j, seed)
             return res, times[:P]
@@ -268,19 +323,14 @@ class PairGridRegistrar:
                 jnp.asarray(idx_i.reshape(n_chunks, C)),
                 jnp.asarray(idx_j.reshape(n_chunks, C)), key)
         try:
-            res = self._get_jitted((C, n_chunks))(*args)
+            packed = np.asarray(self._get_jitted((C, n_chunks))(*args))
         except Exception as e:
             if not self.cfg.pallas_enabled():
                 raise
             self._fallback_to_xla(e)
-            res = self._get_jitted((C, n_chunks))(*args)
-        # drop the (P, n, m) solver certificate before fetching — fetch
-        # latency is per-array on this deployment and u is debug-only
-        res = res.replace(u=None)
-        res = jax.tree.map(np.asarray, res)  # one fetch per field
-        res = jax.tree.map(
-            lambda x: x.reshape((total,) + x.shape[2:])[:P], res
-        )
+            packed = np.asarray(self._get_jitted((C, n_chunks))(*args))
+        packed = packed.reshape((total,) + packed.shape[2:])[:P]
+        res = _unpack_result(packed, n_cap, m_cap, has_conv)
         return self._apply_rescue(res, feats1, feats2, ids1_all, ids2_all,
                                   pair_i, pair_j, seed)
 
