@@ -395,8 +395,44 @@ def run_quality_comparison(feats, auxs, runs, cfg, res, pair_i, pair_j,
     }
 
 
+# v5e bf16 matmul peak, one chip (public spec: 197 TFLOP/s dense bf16)
+_V5E_PEAK_TFLOPS = 197.0
+
+
+def flops_per_pair(n, m, desc_dim, n_ratio, solver, refine_iters=6,
+                   max_clique=64):
+    """Analytic FLOP count of one fused registration (affinity build +
+    CLIPPER homotopy + rounding + refinement), counting MXU matmul FLOPs
+    and (N, N)-scale VPU elementwise ops. Matches the kernel structure
+    in align/fused_register.py; the XLA engine computes the same
+    algorithm with a fatter build, so this is a lower bound there.
+
+    The workload is power-iteration-shaped: ~85% of the FLOPs are
+    (1, N) x (N, N) matvecs whose MXU row utilization is 1/128 — see
+    docs/PERF.md for why achievable MFU on this program is ~1% and what
+    the speed-of-light for the shape actually is."""
+    N = n * m
+    matvec = 2.0 * N * N
+    n_matvecs = (solver.warmup_iters
+                 + solver.outer_iters * (solver.inner_iters + 1)
+                 + 1                       # final Mu (omega + objective)
+                 + 2 * refine_iters)       # support + zero-edge counts
+    cb = 2.0 * N * (n + m) * 2             # rank-structured constraint
+    n_cb = solver.outer_iters * (solver.inner_iters + 1) + 1
+    build = (
+        2 * (n * m * desc_dim * 2.0)       # cosine scores, both layouts
+        + 2 * (n * m * max(n_ratio, 1) * 6.0)  # ratio geometric means
+        + 7 * (N * m * n * 2.0)            # selector flatten matmuls
+        + 12 * (N * n * 2.0)               # coordinate flattening
+        + 25.0 * N * N                     # (N, N) broadcast build ops
+        + 3.0 * N * N                      # zero-edge mask build
+    )
+    rounding = min(max_clique, min(n, m)) * 4 * (N * n * 2.0)
+    return build + n_matvecs * matvec + n_cb * cb + rounding
+
+
 def run_mapping_bench(n_frames=64, batch=16, obs_per_frame=24,
-                      pts_per_obs=128, desc_dim=64, seed=0):
+                      pts_per_obs=128, desc_dim=64, seed=0, repeats=3):
     """Mapping throughput: the device-resident BatchMapper over a synthetic
     observation stream, one dispatch per batch of frames (the reference hot
     loop is mapper.py:47-142, one python update per frame)."""
@@ -444,10 +480,12 @@ def run_mapping_bench(n_frames=64, batch=16, obs_per_frame=24,
                                 desc[s:e], mask[s:e])
 
     feed()  # warmup/compile (also populates the map: realistic occupancy)
-    t0 = time.perf_counter()
-    feed()
-    np.asarray(mapper.state.next_id)  # force
-    dt = time.perf_counter() - t0
+    dt = np.inf  # best-of: tunnel/queueing noise only ever adds time
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        feed()
+        np.asarray(mapper.state.next_id)  # force
+        dt = min(dt, time.perf_counter() - t0)
     return n_frames / dt
 
 
@@ -621,6 +659,13 @@ def main():
         "submap_capacity": args.capacity,
         "desc_dim": args.desc_dim,
     }
+    # MFU accounting (docs/PERF.md): analytic FLOPs of the winning engine
+    # at its measured throughput vs the chip's dense-bf16 peak
+    fpp = flops_per_pair(args.capacity, args.capacity, args.desc_dim, 4,
+                         cfg.solver)
+    record["flops_per_pair"] = round(fpp / 1e6, 1)  # MFLOP
+    record["achieved_tflops"] = round(pps * fpp / 1e12, 3)
+    record["mfu"] = round(pps * fpp / 1e12 / _V5E_PEAK_TFLOPS, 5)
     if pallas_pps is not None and pallas_ran:
         record["pallas_pairs_per_sec"] = round(pallas_pps, 2)
     if args.solver_iters:

@@ -41,6 +41,49 @@ def test_registrar_sharded_matches_unsharded(rng):
     np.testing.assert_allclose(res0.T_align, res1.T_align, atol=1e-4)
 
 
+def test_registrar_sharded_flagship_shapes(rng):
+    """Sharded vs unsharded equality AT THE FLAGSHIP SHAPES — submap
+    capacity 40, 768-d descriptors, a chunked pair grid spanning multiple
+    shard_map dispatch chunks (the same shapes bench.py runs on the real
+    chip and dryrun_multichip validates on the virtual mesh)."""
+    from roman_tpu.sim.world import make_pair_problem, pad_problem
+
+    CAP, DESC = 40, 768
+    n_sub = 5
+    pads = [
+        pad_problem(
+            make_pair_problem(rng, n_common=CAP // 2, n_only1=CAP // 4,
+                              n_only2=CAP // 4, desc_dim=DESC),
+            CAP)
+        for _ in range(n_sub)
+    ]
+    stack = {k: np.stack([d[k] for d in pads]) for k in pads[0]}
+    from roman_tpu.align.invariants import SubmapFeatures
+
+    ratio = np.concatenate(
+        [stack["pca1"], stack["volume1"][..., None]], axis=-1)
+    feats = SubmapFeatures(
+        centers=jnp.asarray(stack["centers1"], jnp.float32),
+        ratio_feats=jnp.asarray(ratio, jnp.float32),
+        descriptors=jnp.asarray(stack["desc1"], jnp.float32),
+        valid=jnp.asarray(stack["valid1"]))
+    ids = np.arange(n_sub * CAP, dtype=np.int32).reshape(n_sub, CAP)
+    cfg = RegistrationConfig(method="roman", cos_min=0.5, cos_max=0.9)
+    gi, gj = np.meshgrid(np.arange(n_sub), np.arange(n_sub), indexing="ij")
+    gi, gj = gi.reshape(-1), gj.reshape(-1)
+
+    plain = PairGridRegistrar(cfg, chunk_size=16)
+    res0 = plain(feats, feats, ids, ids, gi, gj)
+    mesh = get_mesh(8)
+    sharded = PairGridRegistrar(cfg, chunk_size=16, mesh=mesh)
+    res1 = sharded(feats, feats, ids, ids, gi, gj)
+    np.testing.assert_array_equal(res0.count, res1.count)
+    np.testing.assert_array_equal(res0.sel, res1.sel)
+    # grid diagonal = each submap registered against itself: big cliques
+    diag = np.asarray(res0.count).reshape(n_sub, n_sub).diagonal()
+    assert (diag >= 3).all(), diag
+
+
 def test_registrar_sharded_pallas_interpret(rng):
     """The fused pallas register kernel under shard_map over the virtual
     mesh (interpret mode on CPU; on TPU pods shard_map partitions the
