@@ -515,6 +515,32 @@ def run_perception_bench(batch=8, height=480, width=640, repeats=3):
     return batch / dt
 
 
+def run_perception_torch_anchor(batch=8, imgsz=(256, 256), repeats=2):
+    """Judgment anchor for perception_frames_per_sec: the reference's
+    image embedder (DINOv2-base, fastsam_wrapper.py:181-188) as
+    transformers' torch Dinov2Model on THIS host's CPU, random weights,
+    per-frame inference like the reference's loop. DINOv2 is only PART
+    of the reference's per-frame stack (it also runs FastSAM-x
+    segmentation + per-mask torch post-processing), so the resulting
+    perception_vs_torch_cpu UNDERSTATES the true pipeline speedup."""
+    import torch
+    from transformers import Dinov2Config, Dinov2Model
+
+    torch.manual_seed(0)
+    model = Dinov2Model(Dinov2Config()).eval()  # base: 768w, 12 layers
+    g = (imgsz[0] // 14) * 14
+    x = torch.rand(1, 3, g, g)
+    with torch.no_grad():
+        model(x)  # warmup
+        dt = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(batch):
+                model(x)
+            dt = min(dt, time.perf_counter() - t0)
+    return batch / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=32)
@@ -690,6 +716,14 @@ def main():
         record["mapping_frames_per_sec"] = round(run_mapping_bench(), 2)
     if not args.no_perception and not args.cpu:
         record["perception_frames_per_sec"] = round(run_perception_bench(), 2)
+        try:  # reference-stack anchor (see run_perception_torch_anchor)
+            tfps = run_perception_torch_anchor()
+            record["perception_torch_cpu_fps"] = round(tfps, 2)
+            record["perception_vs_torch_cpu"] = round(
+                record["perception_frames_per_sec"] / tfps, 1)
+        except Exception as e:  # torch/transformers unavailable
+            print(f"# torch anchor unavailable: {type(e).__name__}: {e}",
+                  flush=True)
     print(json.dumps(record))
 
 

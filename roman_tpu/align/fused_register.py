@@ -665,12 +665,26 @@ def max_pairs_per_step(N: int, vmem_budget: int = 110 * 1024 * 1024) -> int:
     per = 2 * N * N  # one bf16 (N, N)
     nmax = int(np.ceil(np.sqrt(N)))
     if B == N:
-        # full build: the old calibrated model (N=1600: K=4 measured ok)
-        overhead = per + 8 * per  # mask scratch + ~4 f32 intermediates
-        return max((vmem_budget - overhead) // per, 0)
+        if N > 1600:
+            # N > 1600 with no 16-aligned divisor in [128, 1024]
+            # (prime-factor-poor N): the full-build model below is known
+            # optimistic (it reports K=13 near N=1600 where K=8 measured
+            # as a VMEM overflow) and has never been calibrated past
+            # 1600 — force the XLA engine rather than trust it
+            return 0
+        # full build: mask scratch + ~4 f32 build intermediates, and the
+        # same 2x-per-pair charge as the blocked branch (matvec value
+        # copies). Yields K=6 at N=1600, inside the measured boundary
+        # (v5e sweep: K=7 ok, K=8 overflows) where a 1x charge reported
+        # an impossible K=13; the default K=4 clamp is unaffected for
+        # every N <= 1600.
+        overhead = per + 8 * per
+        return max((vmem_budget - overhead) // (2 * per), 0)
     overhead = (2 * B * N            # bf16 zero-edge mask scratch
                 + 24 * B * N         # ~6 live f32 (B, N) build slabs
                 + 16 * N * nmax      # 4 f32 selector matrices
+                + 4 * N * B          # refine-phase (N, B) f32 zc selector
+                + 512 * N            # (N, 128) f32 flat_scratch
                 + 8 * 1024 * 1024)   # flat vectors + pipeline slush
     # blocked sizes additionally charge one (N, N) bf16 matvec value
     # copy per pair matrix (solve-phase m_scratch[k] loads)

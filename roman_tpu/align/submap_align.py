@@ -102,6 +102,16 @@ def _unpack_result(arr: np.ndarray, n: int, m: int,
                               u=None, score=score, converged=converged)
 
 
+# in-program rescue: fixed number of unconverged-pair slots re-solved at
+# RESCUE_SOLVER budget INSIDE the batched program (lax.cond-gated, so a
+# fully-converged dispatch skips the work at runtime). Sized ~3x the
+# worst observed unconverged count on the flagship workload (2-3 of 506
+# pairs); overflow rows keep converged=False/rescued=False and fall back
+# to the host re-dispatch path, which costs the ~1 s tunnel round trip
+# the in-program path exists to avoid (docs/PERF.md).
+RESCUE_CAP = 8
+
+
 class PairGridRegistrar:
     """Registers arbitrary batches of submap pairs with one compiled program.
 
@@ -142,12 +152,22 @@ class PairGridRegistrar:
         return self._rescue
 
     def _apply_rescue(self, res, feats1, feats2, ids1_all, ids2_all,
-                      pair_i, pair_j, seed):
+                      pair_i, pair_j, seed, already_rescued=None):
         """Re-solve pairs whose homotopy ran out of iteration budget
-        (res.converged False) and splice the high-budget results back."""
+        (res.converged False) and splice the high-budget results back.
+
+        already_rescued marks rows the IN-PROGRAM rescue stage handled
+        (their converged flag may honestly remain False when even the big
+        budget cannot finish — re-dispatching those at the same budget
+        would reproduce the identical result for a wasted tunnel round
+        trip). Only overflow rows (> RESCUE_CAP unconverged in one
+        dispatch) reach the re-dispatch here."""
         if self._is_rescue or res is None or res.converged is None:
             return res
-        bad = np.flatnonzero(~np.asarray(res.converged))
+        bad = ~np.asarray(res.converged)
+        if already_rescued is not None:
+            bad &= ~np.asarray(already_rescued)
+        bad = np.flatnonzero(bad)
         if bad.size == 0:
             return res
         r2 = self._rescue_registrar()(
@@ -163,10 +183,7 @@ class PairGridRegistrar:
 
         return jax.tree.map(splice, res, r2)
 
-    def _registration_fn(self):
-        cfg = self.cfg
-        single_robot_lc = self.single_robot_lc
-
+    def _registration_fn(self, cfg=None):
         def fn(feats1, feats2, ids1_all, ids2_all, idx_i, idx_j, key):
             # gather per-pair features ON DEVICE (host gathers would
             # round-trip through the TPU tunnel per chunk)
@@ -174,12 +191,12 @@ class PairGridRegistrar:
             f2 = jax.tree.map(lambda x: x[idx_j], feats2)
             ids1 = ids1_all[idx_i]
             ids2 = ids2_all[idx_j]
-            return self._register(f1, f2, ids1, ids2, key)
+            return self._register(f1, f2, ids1, ids2, key, cfg=cfg)
 
         return fn
 
-    def _register(self, f1, f2, ids1, ids2, key):
-        cfg = self.cfg
+    def _register(self, f1, f2, ids1, ids2, key, cfg=None):
+        cfg = cfg if cfg is not None else self.cfg
         if self.single_robot_lc:
             # remove segments whose ids appear in both submaps
             # (submap_align.py:108-115)
@@ -222,14 +239,33 @@ class PairGridRegistrar:
         self.cfg = dataclasses.replace(self.cfg, use_pallas=False)
         self._jitted = {}
 
+    def _inprog_rescue(self) -> bool:
+        """True when the compiled program rescues unconverged pairs
+        itself (and its packed output carries one extra 'rescued' int32
+        column). Meshes keep the host re-dispatch: the rescue stage
+        gathers/scatters across the GLOBAL pair axis, which under
+        shard_map would need collectives for a stage that is almost
+        always runtime-skipped."""
+        return (self.mesh is None and not self._is_rescue
+                and self.cfg.method != "ransac")
+
     def _get_jitted(self, sig):
         """One compiled program processing ALL chunks: lax.map over the
         chunk axis keeps peak memory at one chunk while giving a single
         dispatch + a single result fetch (host<->device round trips on this
         deployment cost ~1s each regardless of size, so dispatch/fetch
-        COUNT dominates the wall clock)."""
+        COUNT dominates the wall clock). Unconverged pairs are re-solved
+        at RESCUE_SOLVER budget inside the same program (lax.cond-gated,
+        up to RESCUE_CAP of them) so the common 1-3-unconverged case costs
+        no extra dispatch/fetch round trip."""
         if sig not in self._jitted:
             fn = self._registration_fn()
+            rescue_fn = None
+            if self._inprog_rescue():
+                import dataclasses
+
+                rcfg = dataclasses.replace(self.cfg, solver=reg.RESCUE_SOLVER)
+                rescue_fn = self._registration_fn(rcfg)
             if self.mesh is not None:
                 # explicit SPMD: each device registers its shard of the
                 # chunk's pair axis (features replicated — they're tiny,
@@ -252,13 +288,43 @@ class PairGridRegistrar:
                     fn = shard_map(fn, mesh=self.mesh, check_rep=False,
                                    **specs)
 
-            def all_chunks(feats1, feats2, ids1_all, ids2_all, idx_i, idx_j, key):
-                # idx_i/idx_j: (n_chunks, C)
+            def all_chunks(feats1, feats2, ids1_all, ids2_all, idx_i, idx_j,
+                           valid, key):
+                # idx_i/idx_j/valid: (n_chunks, C); valid False on the
+                # pad rows of the last chunk
                 def one(chunk):
                     ci, cj = chunk
                     return fn(feats1, feats2, ids1_all, ids2_all, ci, cj, key)
 
-                return _pack_result(jax.lax.map(one, (idx_i, idx_j)))
+                packed = _pack_result(jax.lax.map(one, (idx_i, idx_j)))
+                if rescue_fn is None:
+                    return packed
+                nc, C, W = packed.shape
+                T = nc * C
+                cap = min(RESCUE_CAP, T)
+                flat = packed.reshape(T, W)
+                # converged is the last packed column (see _pack_result)
+                bad = (flat[:, -1] <= 0) & valid.reshape(T)
+                n_bad = jnp.sum(bad.astype(jnp.int32))
+
+                def do_rescue(flat):
+                    order = jnp.argsort(~bad)  # stable: bad rows first
+                    slots = order[:cap]        # unique (permutation slice)
+                    slot_ok = bad[slots]
+                    rp = _pack_result(rescue_fn(
+                        feats1, feats2, ids1_all, ids2_all,
+                        idx_i.reshape(T)[slots], idx_j.reshape(T)[slots],
+                        key))
+                    rows = jnp.where(slot_ok[:, None], rp, flat[slots])
+                    rescued = jnp.zeros((T,), jnp.int32).at[slots].set(
+                        slot_ok.astype(jnp.int32))
+                    return flat.at[slots].set(rows), rescued
+
+                flat, rescued = jax.lax.cond(
+                    n_bad > 0, do_rescue,
+                    lambda f: (f, jnp.zeros((T,), jnp.int32)), flat)
+                out = jnp.concatenate([flat, rescued[:, None]], axis=-1)
+                return out.reshape(nc, C, W + 1)
 
             self._jitted[sig] = jax.jit(all_chunks)
         return self._jitted[sig]
@@ -287,10 +353,18 @@ class PairGridRegistrar:
         idx_j = np.zeros(total, np.int32)
         idx_i[:P] = pair_i
         idx_j[:P] = pair_j
+        valid = np.zeros(total, bool)
+        valid[:P] = True
         key = jax.random.PRNGKey(seed)
 
         n_cap, m_cap = feats1.capacity, feats2.capacity
         has_conv = self.cfg.method != "ransac"
+
+        def split_rescued(packed):
+            # the in-program rescue appends one 'rescued' int32 column
+            if not self._inprog_rescue():
+                return packed, None
+            return packed[..., :-1], packed[..., -1] > 0
 
         if timed:
             chunks = []
@@ -301,6 +375,7 @@ class PairGridRegistrar:
                         jnp.asarray(ids2_all),
                         jnp.asarray(idx_i[c * C:(c + 1) * C].reshape(1, C)),
                         jnp.asarray(idx_j[c * C:(c + 1) * C].reshape(1, C)),
+                        jnp.asarray(valid[c * C:(c + 1) * C].reshape(1, C)),
                         key)
                 try:
                     r = np.asarray(self._get_jitted((C, 1))(*args))
@@ -314,14 +389,17 @@ class PairGridRegistrar:
                 chunks.append(r)
             packed = np.concatenate(chunks, axis=0)
             packed = packed.reshape((total,) + packed.shape[2:])[:P]
+            packed, rescued = split_rescued(packed)
             res = _unpack_result(packed, n_cap, m_cap, has_conv)
             res = self._apply_rescue(res, feats1, feats2, ids1_all,
-                                     ids2_all, pair_i, pair_j, seed)
+                                     ids2_all, pair_i, pair_j, seed,
+                                     already_rescued=rescued)
             return res, times[:P]
 
         args = (feats1, feats2, jnp.asarray(ids1_all), jnp.asarray(ids2_all),
                 jnp.asarray(idx_i.reshape(n_chunks, C)),
-                jnp.asarray(idx_j.reshape(n_chunks, C)), key)
+                jnp.asarray(idx_j.reshape(n_chunks, C)),
+                jnp.asarray(valid.reshape(n_chunks, C)), key)
         try:
             packed = np.asarray(self._get_jitted((C, n_chunks))(*args))
         except Exception as e:
@@ -330,9 +408,11 @@ class PairGridRegistrar:
             self._fallback_to_xla(e)
             packed = np.asarray(self._get_jitted((C, n_chunks))(*args))
         packed = packed.reshape((total,) + packed.shape[2:])[:P]
+        packed, rescued = split_rescued(packed)
         res = _unpack_result(packed, n_cap, m_cap, has_conv)
         return self._apply_rescue(res, feats1, feats2, ids1_all, ids2_all,
-                                  pair_i, pair_j, seed)
+                                  pair_i, pair_j, seed,
+                                  already_rescued=rescued)
 
 
 def submap_align(sm_params: SubmapAlignParams, sm_io: SubmapAlignInputOutput,

@@ -107,6 +107,7 @@ def convert_reference_segment(s) -> Optional[SegmentData]:
                                  if desc is not None else None),
             first_seen=float(d.get("first_seen", 0.0)),
             last_seen=float(d.get("last_seen", 0.0)),
+            points=pts.astype(np.float32),
         )
     # SegmentMinimalData (segment.py:19-59; Object base sets centroid
     # (3, 1), _volume, _descriptor — object.py:6-16)

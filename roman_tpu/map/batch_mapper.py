@@ -50,7 +50,8 @@ from roman_tpu.ops.geometry import obb_volume_extent, shape_attributes
 from roman_tpu.ops.hungarian import auction_assignment
 from roman_tpu.ops.pointcloud import (largest_cluster_mask,
                                       statistical_outlier_mask)
-from roman_tpu.ops.voxel import voxel_downsample, voxel_iou_cross
+from roman_tpu.ops.voxel import (_INVALID, sorted_unique_keys,
+                                 voxel_downsample, voxel_iou_cross_keys)
 from roman_tpu.params.mapper_params import MapperParams
 
 # lifecycle states (reference mapper.py:93-127: nursery -> segments ->
@@ -75,6 +76,13 @@ class MapState:
     last_seen: jax.Array       # (S,)
     seg_id: jax.Array          # (S,) int32 (-1 empty)
     next_id: jax.Array         # () int32
+    # cached sorted-unique voxel keys at the association voxel size
+    # (ops.voxel.sorted_unique_keys of the row's points): association and
+    # merge scoring read these instead of re-keying + re-sorting the
+    # whole (S, P) pool every frame; refreshed only for rows whose points
+    # changed (integrate / spawn / merge / free)
+    vox_keys: jax.Array        # (S, P) int32 sorted, _INVALID-padded
+    vox_n: jax.Array           # (S,) int32 occupied-voxel count
 
 
 def init_state(capacity: int, points_per_seg: int, desc_dim: int) -> MapState:
@@ -90,6 +98,8 @@ def init_state(capacity: int, points_per_seg: int, desc_dim: int) -> MapState:
         last_seen=jnp.full((S,), -1e9, jnp.float32),
         seg_id=jnp.full((S,), -1, jnp.int32),
         next_id=jnp.zeros((), jnp.int32),
+        vox_keys=jnp.full((S, P), _INVALID, jnp.int32),
+        vox_n=jnp.zeros((S,), jnp.int32),
     )
 
 
@@ -147,10 +157,12 @@ class BatchMapper:
             trackable = (state.status == NURSERY) | (state.status == ACTIVE)
 
             # ---- association scores (segment x observation) ----
-            # keys computed once per set (shared world grid), not per pair
-            iou = voxel_iou_cross(
-                state.points, state.points_valid, obs_pts, obs_valid,
-                vs_iou, iom_as_iou=iom,
+            # segment-side keys come from the state cache (refreshed only
+            # for rows whose points change); observation keys are computed
+            # once per frame (shared world grid), not per pair
+            k_obs, n_obs = sorted_unique_keys(obs_pts, obs_valid, vs_iou)
+            iou = voxel_iou_cross_keys(
+                state.vox_keys, state.vox_n, k_obs, n_obs, iom_as_iou=iom,
             )  # (S, O)
             geo_norm = (iou - geo_lo) / jnp.maximum(geo_hi - geo_lo, 1e-9)
             score = geo_norm
@@ -187,8 +199,9 @@ class BatchMapper:
                 jnp.where(matched[:, None, None], obs_pts, 0.0), mode="drop")
             add_val = add_val.at[seg_of_obs].set(
                 obs_valid & matched[:, None], mode="drop")
-            comb_pts = jnp.concatenate([state.points, add_pts], axis=1)
-            comb_val = jnp.concatenate([state.points_valid, add_val], axis=1)
+            # Only the <= O matched rows change, so the maintenance
+            # pipeline GATHERS them, processes (R0, P+Q) instead of
+            # (S, P+Q), and scatters back — ~S/O less downsample work.
             # host-parity order (segment.py:87-93 _cleanup_points):
             # 1. UNCAPPED fine-resolution downsample (transient, P+Q slots)
             # 2. statistical outlier removal on the FINE cloud — the SOR
@@ -197,22 +210,33 @@ class BatchMapper:
             #    OBB volumes ran 1.8x host when SOR ran post-coarsening)
             # 3. capped downsample with adaptive coarsening to bound the
             #    pool (footprint-preserving, see voxel_downsample)
-            fine_pts, fine_val = voxel_downsample(comb_pts, comb_val, vs_seg)
             touched = jnp.zeros((S,), bool).at[seg_of_obs].set(matched, mode="drop")
+            R0 = min(O, S)
+            t_rows = jnp.argsort(~touched)[:R0]
+            row_touched = touched[t_rows]
+            comb_pts = jnp.concatenate(
+                [state.points[t_rows], add_pts[t_rows]], axis=1)
+            comb_val = jnp.concatenate(
+                [state.points_valid[t_rows], add_val[t_rows]], axis=1)
+            fine_pts, fine_val = voxel_downsample(comb_pts, comb_val, vs_seg)
             if p.segment_outlier_removal_std is not None:
-                # Only touched rows matter (untouched rows are reverted
-                # by the where below), so gather at most O of them
-                # instead of SOR-ing the whole (S, P+Q) pool.
-                t_rows = jnp.argsort(~touched)[: min(O, S)]
-                keep = statistical_outlier_mask(
-                    fine_pts[t_rows], fine_val[t_rows], 10,
-                    p.segment_outlier_removal_std)
-                fine_val = fine_val.at[t_rows].set(keep)
+                fine_val = statistical_outlier_mask(
+                    fine_pts, fine_val, 10, p.segment_outlier_removal_std)
             new_pts, new_val = voxel_downsample(fine_pts, fine_val, vs_seg,
                                                 capacity=P,
                                                 max_coarsen_levels=2)
-            points = jnp.where(touched[:, None, None], new_pts, state.points)
-            points_valid = jnp.where(touched[:, None], new_val, state.points_valid)
+            points = state.points.at[t_rows].set(
+                jnp.where(row_touched[:, None, None], new_pts,
+                          state.points[t_rows]))
+            points_valid = state.points_valid.at[t_rows].set(
+                jnp.where(row_touched[:, None], new_val,
+                          state.points_valid[t_rows]))
+            # refresh the touched rows' cached association-voxel keys
+            rk, rn = sorted_unique_keys(new_pts, new_val, vs_iou)
+            vox_keys = state.vox_keys.at[t_rows].set(
+                jnp.where(row_touched[:, None], rk, state.vox_keys[t_rows]))
+            vox_n = state.vox_n.at[t_rows].set(
+                jnp.where(row_touched, rn, state.vox_n[t_rows]))
 
             # descriptors: running mean
             add_desc = jnp.zeros((S, obs_desc.shape[1]), jnp.float32).at[
@@ -273,6 +297,9 @@ class BatchMapper:
                     init_pts, init_val, 10, p.segment_outlier_removal_std)
             points = place(points, init_pts)
             points_valid = place(points_valid, init_val)
+            pk, pn = sorted_unique_keys(init_pts, init_val, vs_iou)
+            vox_keys = place(vox_keys, pk)
+            vox_n = place(vox_n, pn)
             dnorm = obs_desc / jnp.maximum(
                 jnp.linalg.norm(obs_desc, axis=-1, keepdims=True), 1e-9)
             desc = place(desc, dnorm)
@@ -308,16 +335,16 @@ class BatchMapper:
 
             def merge_once(carry):
                 (points, points_valid, desc, desc_count, num_sightings,
-                 first_seen, last_seen, seg_id, status, dirty,
-                 n_merges) = carry
+                 first_seen, last_seen, seg_id, status, vox_keys, vox_n,
+                 dirty, n_merges) = carry
                 activeish = (status == NURSERY) | (status == ACTIVE)
                 track3 = activeish | (status == INACTIVE)
                 # dirty rows first (stable sort keeps this deterministic)
                 rows = jnp.argsort(~dirty)[:R]
                 row_dirty = dirty[rows]
-                pair_iou = voxel_iou_cross(
-                    points[rows], points_valid[rows], points, points_valid,
-                    vs_iou, iom_as_iou=iom)  # (R, S)
+                pair_iou = voxel_iou_cross_keys(
+                    vox_keys[rows], vox_n[rows], vox_keys, vox_n,
+                    iom_as_iou=iom)  # (R, S)
                 g = rows[:, None]
                 c = jnp.arange(S)[None, :]
                 # at least one side currently tracked; the other may be
@@ -355,6 +382,13 @@ class BatchMapper:
                     jnp.where(do_merge, md_pts, points[a]))
                 points_valid = points_valid.at[a].set(
                     jnp.where(do_merge, md_val, points_valid[a]))
+                mk, mn = sorted_unique_keys(md_pts, md_val, vs_iou)
+                vox_keys = vox_keys.at[a].set(
+                    jnp.where(do_merge, mk, vox_keys[a]))
+                vox_n = vox_n.at[a].set(jnp.where(do_merge, mn, vox_n[a]))
+                vox_keys = vox_keys.at[b].set(
+                    jnp.where(do_merge, _INVALID, vox_keys[b]))
+                vox_n = vox_n.at[b].set(jnp.where(do_merge, 0, vox_n[b]))
                 wa = desc_count[a]
                 wb = desc_count[b]
                 mdesc = (desc[a] * wa + desc[b] * wb) / jnp.maximum(wa + wb, 1.0)
@@ -386,23 +420,25 @@ class BatchMapper:
                 n_merges = jnp.where(do_merge, n_merges + 1, -1)
                 return (points, points_valid, desc, desc_count,
                         num_sightings, first_seen, last_seen, seg_id,
-                        status, dirty, n_merges)
+                        status, vox_keys, vox_n, dirty, n_merges)
 
             max_merges = p.max_merges_per_frame
             carry = (points, points_valid, desc, desc_count, num_sightings,
-                     first_seen, last_seen, seg_id, status, dirty0,
-                     jnp.zeros((), jnp.int32))
+                     first_seen, last_seen, seg_id, status, vox_keys, vox_n,
+                     dirty0, jnp.zeros((), jnp.int32))
             carry = jax.lax.while_loop(
                 lambda c: (c[-1] >= 0) & (c[-1] < max_merges),
                 merge_once, carry)
             (points, points_valid, desc, desc_count, num_sightings,
-             first_seen, last_seen, seg_id, status, _, _) = carry
+             first_seen, last_seen, seg_id, status, vox_keys, vox_n,
+             _, _) = carry
 
             return MapState(
                 points=points, points_valid=points_valid, descriptors=desc,
                 desc_count=desc_count, status=status, num_sightings=num_sightings,
                 first_seen=first_seen, last_seen=last_seen, seg_id=seg_id,
                 next_id=state.next_id + n_new,
+                vox_keys=vox_keys, vox_n=vox_n,
             )
 
         return step
@@ -625,6 +661,7 @@ class BatchMapper:
                 semantic_descriptor=desc[i] if desc_count[i] > 0 else None,
                 first_seen=float(first_seen[i]),
                 last_seen=float(last_seen[i]),
+                points=pts.astype(np.float32),
             ))
             slots.append(i)
         return segments, slots
@@ -664,6 +701,12 @@ class BatchMapper:
                     desc_count=jnp.where(m, 0.0, state.desc_count),
                     num_sightings=jnp.where(m, 0, state.num_sightings),
                     last_seen=jnp.where(m, -1e9, state.last_seen),
+                    # drop the cached association keys with the row:
+                    # association/merge are status-gated so stale keys
+                    # can't match, but EMPTY rows must score 0 like their
+                    # zeroed points_valid always did
+                    vox_keys=jnp.where(m[:, None], _INVALID, state.vox_keys),
+                    vox_n=jnp.where(m, 0, state.vox_n),
                 )
 
             self._free_fn = free

@@ -44,6 +44,19 @@ class SegmentData:
     semantic_descriptor: Optional[np.ndarray] = None
     first_seen: float = 0.0
     last_seen: float = 0.0
+    # optional (n, 3) point cloud. The reference's map pickle carries each
+    # segment's full (voxel-downsampled) points (ROMANMap of Segments,
+    # map.py:18-41) — that is what association_vid/o3d_viz reproject onto
+    # camera frames. Alignment ignores this field; None keeps old pickles
+    # loading unchanged.
+    points: Optional[np.ndarray] = None
+
+    def __getattr__(self, name):
+        # map pickles written before a newer optional field existed
+        # restore without it; treat it as its default instead of raising
+        if name == "points":
+            return None
+        raise AttributeError(name)
 
     def reference_time(self, use_avg_time: bool = True) -> float:
         if not use_avg_time:
@@ -52,7 +65,9 @@ class SegmentData:
 
     def transformed(self, T: np.ndarray) -> "SegmentData":
         c = T[:3, :3] @ np.asarray(self.center).reshape(3) + T[:3, 3]
-        return dataclasses.replace(self, center=c)
+        pts = (np.asarray(self.points) @ T[:3, :3].T + T[:3, 3]
+               if self.points is not None else None)
+        return dataclasses.replace(self, center=c, points=pts)
 
     @property
     def pca_attrs(self) -> np.ndarray:

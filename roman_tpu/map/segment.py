@@ -267,7 +267,11 @@ class Segment:
             self.points = self.points @ T[:3, :3].T + T[:3, 3]
             self._memo.clear()
 
-    def minimal_data(self) -> SegmentData:
+    def minimal_data(self, include_points: bool = True) -> SegmentData:
+        """include_points keeps the (voxel-downsampled) cloud in the map
+        artifact like the reference pickle does (map.py:18-41) — the
+        post-hoc viz tools (association_vid camera overlays, o3d_viz)
+        reproject it. Alignment never reads it."""
         return SegmentData(
             id=self.id,
             center=np.asarray(self.center).reshape(3),
@@ -279,4 +283,6 @@ class Segment:
             semantic_descriptor=self.semantic_descriptor,
             first_seen=self.first_seen,
             last_seen=self.last_seen,
+            points=(np.asarray(self.points, np.float32)
+                    if include_points and self.points is not None else None),
         )

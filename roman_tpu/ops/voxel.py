@@ -223,6 +223,16 @@ def voxel_downsample_np(points: np.ndarray, voxel_size: float) -> np.ndarray:
     return sums / cnt[:, None]
 
 
+def sorted_unique_keys(points: jax.Array, mask: jax.Array,
+                       voxel_size: float):
+    """(sorted-unique voxel keys (..., n), occupied count (...,)) — the
+    cacheable occupancy representation consumed by voxel_iou_cross_keys.
+    The device mapper stores these per segment pool row and refreshes
+    only rows whose points changed, so per-frame association/merge
+    scoring skips re-keying + re-sorting the whole pool."""
+    return _sorted_unique(voxel_keys(points, mask, voxel_size))
+
+
 def voxel_iou_cross(
     points1: jax.Array,
     mask1: jax.Array,
@@ -242,23 +252,67 @@ def voxel_iou_cross(
     """
     k1, n1 = _sorted_unique(voxel_keys(points1, mask1, voxel_size))
     k2, n2 = _sorted_unique(voxel_keys(points2, mask2, voxel_size))
+    return voxel_iou_cross_keys(k1, n1, k2, n2, iom_as_iou=iom_as_iou)
+
+
+def voxel_iou_cross_keys(k1, n1, k2, n2, iom_as_iou: bool = False,
+                         method: str | None = None):
+    """voxel_iou_cross over precomputed sorted_unique_keys outputs.
+
+    Two membership backends, bit-identical counts (each row's keys are
+    unique, so |A ∩ B| = number of equal (p, q) key pairs):
+
+    - "compare": blocked broadcast equality + reduction — pure vectorized
+      VPU work. On TPU this is the only sane choice: jnp.searchsorted
+      lowers to a serial gather loop per query, and the measured cost was
+      the device mapper's ENTIRE frame budget (3.3 vs ~100 frames/s with
+      scoring removed).
+    - "searchsorted": O(S*O*Q*logP) binary search — wins on CPU where
+      gathers are cheap and the O(S*O*P*Q) compare is not vectorized
+      across one core.
+
+    method=None picks by backend (TPU -> compare).
+    """
     S, P = k1.shape
     O, Q = k2.shape
-    # binary-search every set-2 key in each set-1 row instead of the
-    # all-pairs broadcast (S,O,P,Q): O(S*O*Q*logP) vs O(S*O*P*Q) — the
-    # broadcast is ~P/logP (30x at P=256) more compare work and a 4-D
-    # intermediate; this is the mapper's per-frame merge hot path, called
-    # inside the merge-to-fixpoint while_loop (batch_mapper.py)
-    flat2 = k2.reshape(-1)  # (O*Q,)
+    if method is None:
+        try:
+            method = ("compare" if jax.default_backend() == "tpu"
+                      else "searchsorted")
+        except Exception:
+            method = "searchsorted"
 
-    def row_counts(row):
-        # row: sorted, per-row-unique, _INVALID (int32 max) padded at the
-        # end, so membership == exact equality at the insertion point
-        idx = jnp.searchsorted(row, flat2)
-        got = (row[jnp.clip(idx, 0, P - 1)] == flat2) & (flat2 != _INVALID)
-        return jnp.sum(got.reshape(O, Q), axis=-1)
+    if method == "compare":
+        valid1 = k1 != _INVALID
+        # block the (S, P, O, Q) equality tensor over the O axis to bound
+        # the live intermediate to ~32M elements
+        blk = max(1, min(O, int(32_000_000 // max(S * P * Q, 1))))
+        nb = (O + blk - 1) // blk
+        O_pad = nb * blk
+        k2p = (jnp.concatenate(
+            [k2, jnp.full((O_pad - O, Q), _INVALID, k2.dtype)], axis=0)
+            if O_pad != O else k2)
 
-    inter = jax.vmap(row_counts)(k1).astype(jnp.float32)  # (S, O)
+        def one(k2_blk):  # (blk, Q) -> (S, blk)
+            eq = ((k1[:, :, None, None] == k2_blk[None, None, :, :])
+                  & valid1[:, :, None, None])
+            return jnp.sum(eq, axis=(1, 3), dtype=jnp.int32)
+
+        inter = jax.lax.map(one, k2p.reshape(nb, blk, Q))  # (nb, S, blk)
+        inter = jnp.moveaxis(inter, 0, 1).reshape(S, O_pad)[:, :O]
+        inter = inter.astype(jnp.float32)
+    else:
+        flat2 = k2.reshape(-1)  # (O*Q,)
+
+        def row_counts(row):
+            # row: sorted, per-row-unique, _INVALID (int32 max) padded at
+            # the end, so membership == equality at the insertion point
+            idx = jnp.searchsorted(row, flat2)
+            got = ((row[jnp.clip(idx, 0, P - 1)] == flat2)
+                   & (flat2 != _INVALID))
+            return jnp.sum(got.reshape(O, Q), axis=-1)
+
+        inter = jax.vmap(row_counts)(k1).astype(jnp.float32)  # (S, O)
     n1 = n1.astype(jnp.float32)[:, None]
     n2 = n2.astype(jnp.float32)[None, :]
     if iom_as_iou:

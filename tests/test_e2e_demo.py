@@ -116,3 +116,15 @@ def test_viz_cli_scripts(demo_output):
     assert proc.returncode == 0, proc.stderr[-2000:]
     figs = list(vid_dir.glob("*.png"))
     assert len(figs) >= 1, "no association figures written"
+
+    # camera-frame association video (reference demo/association_vid.py
+    # :63-317): side-by-side camera frames, reprojected match outlines,
+    # nearest-pixel match lines
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "demo", "association_vid.py"),
+         str(demo_output / "align" / "robot0_robot1" / "align.pkl"),
+         "-o", str(vid_dir), "--camera-video"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    vid = vid_dir / "association_camera.mp4"
+    assert vid.exists() and vid.stat().st_size > 0, "no camera video"

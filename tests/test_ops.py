@@ -309,6 +309,37 @@ def test_voxel_iou_cross_far_sets_zero():
     assert float(same[0, 0]) == 1.0
 
 
+def test_voxel_iou_cross_keys_backends_match(rng):
+    """The TPU 'compare' backend (blocked broadcast equality — searchsorted
+    lowers to a serial gather loop on TPU and was 97% of the device
+    mapper's frame cost) must produce bit-identical IOUs to the
+    'searchsorted' backend, including across O-axis block padding and
+    _INVALID-padded rows."""
+    import jax.numpy as jnp
+
+    from roman_tpu.ops.voxel import sorted_unique_keys, voxel_iou_cross_keys
+
+    # sizes chosen so the compare backend's 32M-element block budget
+    # forces blk < O (S*P*Q = 64*256*256 ≈ 4.2M -> blk=7 over O=20,
+    # exercising the O_pad != O branch)
+    S, P, O, Q = 64, 256, 20, 256
+    p1 = rng.uniform(0, 8, (S, P, 3)).astype(np.float32)
+    p2 = rng.uniform(0, 8, (O, Q, 3)).astype(np.float32)
+    m1 = rng.uniform(size=(S, P)) < 0.8
+    m2 = rng.uniform(size=(O, Q)) < 0.8
+    m1[0] = False  # fully-empty row: all keys _INVALID
+    k1, n1 = sorted_unique_keys(jnp.asarray(p1), jnp.asarray(m1), 0.5)
+    k2, n2 = sorted_unique_keys(jnp.asarray(p2), jnp.asarray(m2), 0.5)
+    for iom in (False, True):
+        a = voxel_iou_cross_keys(k1, n1, k2, n2, iom_as_iou=iom,
+                                 method="compare")
+        b = voxel_iou_cross_keys(k1, n1, k2, n2, iom_as_iou=iom,
+                                 method="searchsorted")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(jnp.max(a)) > 0  # sets overlap: the test isn't vacuous
+    assert np.all(np.asarray(a)[0] == 0)  # empty row intersects nothing
+
+
 def test_auction_batched_matches_per_batch(rng):
     """Regression: the old row->col scatter used numpy outer advanced
     indexing across batch dims, corrupting every batch for B>1."""

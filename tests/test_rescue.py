@@ -175,3 +175,47 @@ def test_registrar_applies_rescue(cfg):
                                   np.asarray(rescue_direct.sel)[17])
     np.testing.assert_array_equal(np.asarray(res.count),
                                   np.asarray(rescue_direct.count))
+
+
+def test_registrar_inprogram_rescue_no_host_redispatch(cfg, monkeypatch):
+    """The common case (1-3 unconverged pairs <= RESCUE_CAP) is rescued
+    INSIDE the single compiled program — the host-level re-dispatch
+    (~1 s tunnel round trip, docs/PERF.md) must not fire at all."""
+    from roman_tpu.align.submap_align import PairGridRegistrar
+
+    _, pads = _drift_pairs()
+    f1, f2 = _features(pads, cfg)
+    ids = jnp.zeros((18, CAPACITY), jnp.int32)
+    reg = PairGridRegistrar(cfg, chunk_size=6)
+    monkeypatch.setattr(
+        PairGridRegistrar, "_rescue_registrar",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("host rescue re-dispatch fired")))
+    idx = np.arange(18)
+    res = reg(f1, f2, ids, ids, idx, idx)
+    rescue_direct = registration.register_clipper_rescued(f1, f2, cfg)
+    np.testing.assert_array_equal(np.asarray(res.count),
+                                  np.asarray(rescue_direct.count))
+    np.testing.assert_array_equal(np.asarray(res.sel),
+                                  np.asarray(rescue_direct.sel))
+
+
+def test_registrar_inprogram_rescue_overflow_falls_back(cfg, monkeypatch):
+    """More unconverged pairs than RESCUE_CAP slots: the in-program stage
+    rescues CAP of them and the host re-dispatch handles ONLY the
+    overflow rows (already_rescued mask) — end result identical to
+    rescuing everything."""
+    from roman_tpu.align import submap_align
+
+    _, pads = _drift_pairs()
+    f1, f2 = _features(pads, cfg)
+    ids = jnp.zeros((18, CAPACITY), jnp.int32)
+    monkeypatch.setattr(submap_align, "RESCUE_CAP", 1)
+    reg = submap_align.PairGridRegistrar(cfg, chunk_size=6)
+    idx = np.arange(18)
+    res = reg(f1, f2, ids, ids, idx, idx)
+    rescue_direct = registration.register_clipper_rescued(f1, f2, cfg)
+    np.testing.assert_array_equal(np.asarray(res.count),
+                                  np.asarray(rescue_direct.count))
+    np.testing.assert_array_equal(np.asarray(res.sel),
+                                  np.asarray(rescue_direct.sel))
