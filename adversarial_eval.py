@@ -10,9 +10,15 @@ scenario. Reports LC precision/recall per scenario for both solvers
 (reference evaluator semantics: predicted = >= min_assoc associations;
 correct = T within thresholds — roman/align/evaluate.py:233-288).
 
-Usage:  python adversarial_eval.py [--cpu] [--pairs N] [--md docs/ADVERSARIAL.md]
-Prints one JSON line per scenario and (optionally) writes the markdown
-table quoted in the docs.
+Usage:  python adversarial_eval.py [--cpu] [--pairs N] [--seeds K]
+                                   [--md docs/ADVERSARIAL.md]
+`--pairs` is the TOTAL positive count per scenario, split across
+`--seeds` independent seeds (negatives = 2/3 of positives, also split).
+Counts (tp/fp/fn) are accumulated across seeds and reported with Wilson
+95% binomial confidence intervals, mirroring the reference evaluator's
+bucketed statistics (roman/align/evaluate.py:211-322). Prints one JSON
+line per scenario and (optionally) writes the markdown table quoted in
+the docs.
 """
 
 import argparse
@@ -54,26 +60,33 @@ def build_pairs(rng, kwargs, n_pos, n_neg, capacity, desc_dim):
     return problems, pads, labels
 
 
-def engine_solve(pads, cfg):
-    """One batched XLA solve over all pairs of a scenario."""
+def engine_solve(pads, cfg, chunk=64):
+    """Batched XLA solves over all pairs of a scenario (chunked so large
+    --pairs sweeps stay within host/CPU-backend memory)."""
     import jax.numpy as jnp
 
     from roman_tpu.align import registration
 
-    def stack(key):
-        return jnp.asarray(np.stack([p[key] for p in pads]))
+    counts, Ts, oks = [], [], []
+    for lo in range(0, len(pads), chunk):
+        part = pads[lo:lo + chunk]
 
-    f1 = registration.build_features(
-        stack("centers1"), stack("valid1"), cfg, pca_attrs=stack("pca1"),
-        volume=stack("volume1"), extent=stack("extent1"),
-        descriptors=stack("desc1"))
-    f2 = registration.build_features(
-        stack("centers2"), stack("valid2"), cfg, pca_attrs=stack("pca2"),
-        volume=stack("volume2"), extent=stack("extent2"),
-        descriptors=stack("desc2"))
-    res = registration.register_clipper_rescued(f1, f2, cfg)
-    return (np.asarray(res.count), np.asarray(res.T_align),
-            np.asarray(res.ok))
+        def stack(key):
+            return jnp.asarray(np.stack([p[key] for p in part]))
+
+        f1 = registration.build_features(
+            stack("centers1"), stack("valid1"), cfg, pca_attrs=stack("pca1"),
+            volume=stack("volume1"), extent=stack("extent1"),
+            descriptors=stack("desc1"))
+        f2 = registration.build_features(
+            stack("centers2"), stack("valid2"), cfg, pca_attrs=stack("pca2"),
+            volume=stack("volume2"), extent=stack("extent2"),
+            descriptors=stack("desc2"))
+        res = registration.register_clipper_rescued(f1, f2, cfg)
+        counts.append(np.asarray(res.count))
+        Ts.append(np.asarray(res.T_align))
+        oks.append(np.asarray(res.ok))
+    return (np.concatenate(counts), np.concatenate(Ts), np.concatenate(oks))
 
 
 def referee_solve(problems, cfg):
@@ -90,8 +103,9 @@ def referee_solve(problems, cfg):
     return np.asarray(counts), np.stack(Ts)
 
 
-def lc_metrics(counts, Ts, problems, labels, min_assoc=4,
-               dist_thresh=3.0, angle_thresh_deg=10.0):
+def lc_counts(counts, Ts, problems, labels, min_assoc=4,
+              dist_thresh=3.0, angle_thresh_deg=10.0):
+    """Raw (tp, fp, fn) so multi-seed runs can pool before dividing."""
     from roman_tpu.ops import se3_np
 
     tp = fp = fn = 0
@@ -111,14 +125,36 @@ def lc_metrics(counts, Ts, problems, labels, min_assoc=4,
                 fp += 1
             if labels[k]:
                 fn += 1
-    return tp / max(tp + fp, 1), tp / max(tp + fn, 1)
+    return tp, fp, fn
+
+
+def wilson_ci(k, n, z=1.96):
+    """Wilson score 95% interval for a binomial proportion k/n."""
+    if n == 0:
+        return (0.0, 1.0)
+    p = k / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    return (max(0.0, center - half), min(1.0, center + half))
+
+
+def _pr_with_ci(tp, fp, fn):
+    p = tp / max(tp + fp, 1)
+    r = tp / max(tp + fn, 1)
+    p_ci = wilson_ci(tp, tp + fp)
+    r_ci = wilson_ci(tp, tp + fn)
+    return p, r, p_ci, r_ci
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pairs", type=int, default=24,
-                    help="positive pairs per scenario (negatives = 2/3)")
+                    help="TOTAL positive pairs per scenario, split across"
+                         " --seeds (negatives = 2/3)")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="independent seeds the pair budget is split over")
     ap.add_argument("--capacity", type=int, default=40)
     ap.add_argument("--desc-dim", type=int, default=128)
     ap.add_argument("--md", type=str, default=None,
@@ -135,21 +171,42 @@ def main():
 
     cfg = RegistrationConfig(method="roman", cos_min=0.5, cos_max=0.9,
                              use_pallas=False)
-    n_pos = args.pairs
-    n_neg = max(args.pairs * 2 // 3, 4)
+    n_pos_total = args.pairs
+    n_neg_total = max(args.pairs * 2 // 3, 4)
+    seed_list = [args.seed + 1000 * s for s in range(max(args.seeds, 1))]
     rows = []
     for name, kwargs in SCENARIOS:
-        rng = np.random.default_rng(args.seed)
-        problems, pads, labels = build_pairs(
-            rng, kwargs, n_pos, n_neg, args.capacity, args.desc_dim)
-        e_counts, e_T, _ = engine_solve(pads, cfg)
-        e_p, e_r = lc_metrics(e_counts, e_T, problems, labels)
-        b_counts, b_T = referee_solve(problems, cfg)
-        b_p, b_r = lc_metrics(b_counts, b_T, problems, labels)
-        row = dict(scenario=name, pairs=int(len(labels)),
+        etp = efp = efn = btp = bfp = bfn = 0
+        n_pairs = 0
+        for si, seed in enumerate(seed_list):
+            # split the budget as evenly as possible across seeds
+            n_pos = n_pos_total // len(seed_list) + (
+                1 if si < n_pos_total % len(seed_list) else 0)
+            n_neg = n_neg_total // len(seed_list) + (
+                1 if si < n_neg_total % len(seed_list) else 0)
+            if n_pos == 0 and n_neg == 0:
+                continue
+            rng = np.random.default_rng(seed)
+            problems, pads, labels = build_pairs(
+                rng, kwargs, n_pos, n_neg, args.capacity, args.desc_dim)
+            n_pairs += len(labels)
+            e_counts, e_T, _ = engine_solve(pads, cfg)
+            tp, fp, fn = lc_counts(e_counts, e_T, problems, labels)
+            etp += tp; efp += fp; efn += fn
+            b_counts, b_T = referee_solve(problems, cfg)
+            tp, fp, fn = lc_counts(b_counts, b_T, problems, labels)
+            btp += tp; bfp += fp; bfn += fn
+        e_p, e_r, e_pci, e_rci = _pr_with_ci(etp, efp, efn)
+        b_p, b_r, b_pci, b_rci = _pr_with_ci(btp, bfp, bfn)
+        row = dict(scenario=name, pairs=int(n_pairs),
+                   positives=int(etp + efn), seeds=len(seed_list),
                    engine_precision=round(e_p, 3), engine_recall=round(e_r, 3),
+                   engine_p_ci=[round(x, 3) for x in e_pci],
+                   engine_r_ci=[round(x, 3) for x in e_rci],
                    referee_precision=round(b_p, 3),
-                   referee_recall=round(b_r, 3))
+                   referee_recall=round(b_r, 3),
+                   referee_p_ci=[round(x, 3) for x in b_pci],
+                   referee_r_ci=[round(x, 3) for x in b_rci])
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -160,21 +217,30 @@ def main():
             "Engine (batched XLA path; pallas is bit-equal) vs the"
             " full-budget serial numpy referee on synthetic submap pairs"
             " per nuisance level, with matched no-overlap negatives"
-            f" ({n_pos} positives + {n_neg} negatives per scenario,"
+            f" ({n_pos_total} positives + {n_neg_total} negatives per"
+            f" scenario pooled over {len(seed_list)} independent seeds,"
             f" capacity {args.capacity}, {args.desc_dim}-d descriptors;"
-            " LC = >=4 associations, correct = <3 m / <10 deg vs GT).",
+            " LC = >=4 associations, correct = <3 m / <10 deg vs GT)."
+            " Brackets are Wilson 95% binomial CIs on the pooled counts.",
             "",
             f"Generated by `python adversarial_eval.py --pairs {args.pairs}"
+            f" --seeds {args.seeds}"
             + (" --cpu" if args.cpu else "") + f" --seed {args.seed}`.",
             "",
             "| Scenario | Engine P | Engine R | Referee P | Referee R |",
             "|---|---|---|---|---|",
         ]
+
+        def _fmt(v, ci):
+            return f"{v} [{ci[0]:.3f}, {ci[1]:.3f}]"
+
         for r in rows:
             lines.append(
-                f"| {r['scenario']} | {r['engine_precision']} |"
-                f" {r['engine_recall']} | {r['referee_precision']} |"
-                f" {r['referee_recall']} |")
+                f"| {r['scenario']} |"
+                f" {_fmt(r['engine_precision'], r['engine_p_ci'])} |"
+                f" {_fmt(r['engine_recall'], r['engine_r_ci'])} |"
+                f" {_fmt(r['referee_precision'], r['referee_p_ci'])} |"
+                f" {_fmt(r['referee_recall'], r['referee_r_ci'])} |")
         lines += [
             "",
             "At drift_1.0m every remaining engine/referee disagreement was"

@@ -283,6 +283,12 @@ def refine_selection_2d(M: jax.Array, sel: jax.Array, iters: int = 6,
     # otherwise recomputes the comparison inside every scan step) and
     # each iteration counts zero edges with a matvec. 0/1 bf16 products
     # with f32 accumulation are exact integer counts.
+    # HBM NOTE: Z is a second full (..., N, N) bf16 matrix pinned for the
+    # refine phase, doubling the XLA engine's per-chunk footprint (e.g.
+    # +164 MB at chunk 32, capacity 40 -> N=1600). Deliberate speed/
+    # memory trade mirroring the fused kernel's resident layout; size
+    # chunk_size * N^2 * 2 * 2 bytes against HBM when raising capacity or
+    # PairGridRegistrar chunk_size together (v5e: 16 GB).
     Z = jnp.where((M.astype(jnp.float32) <= edge_eps) & ~eye, 1.0, 0.0)
     Z = jax.lax.optimization_barrier(Z.astype(jnp.bfloat16))
 

@@ -62,75 +62,71 @@ class SubmapAlignResults:
 
 
 def plot_align_results(results: SubmapAlignResults, dpi=200):
+    """Heatmap panel over the pairwise submap-alignment grid.
+
+    Serves the same diagnostic role as reference roman/align/results.py
+    :55-120 (GT distance / yaw gap / registration errors / association
+    counts / similarity as per-pair image grids) but is plotted from
+    scratch: panels are a declarative spec rendered onto a two-column
+    grid sized by how many are available, with perceptually-uniform
+    colormaps throughout. Nothing downstream parses the png.
+    """
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    show_sim = results.similarity_mat is not None
+    # A pair counts as failed if EITHER registration-error metric blows
+    # its threshold; saturate both panels there so a failure is visible
+    # in each (a pair can't look "good in angle" while lost in
+    # translation). NaN rows (never attempted) stay NaN/blank.
+    dist_cap, angle_cap = 5.0, 10.0
+    dist_err = np.asarray(results.clipper_dist_mat, float)
+    angle_err = np.asarray(results.clipper_angle_mat, float)
+    failed = (dist_err > dist_cap) | (angle_err > angle_cap)
+    dist_err = np.where(failed & ~np.isnan(dist_err), dist_cap, dist_err)
+    angle_err = np.where(failed & ~np.isnan(angle_err), angle_cap, angle_err)
+
     has_gt = None not in results.submap_io.input_gt_pose_yaml
+    # (title, matrix, cmap, vmin, vmax); gt-dependent panels drop out
+    # when no gt poses were supplied.
+    panels = []
+    if has_gt:
+        panels += [
+            ("Submaps Center Distance (m)",
+             results.robots_nearby_mat, "cividis", 0.0, None),
+            ("Submap Center Yaw Diff. (deg)",
+             results.submap_yaw_diff_mat, "cividis", 0.0, None),
+            ("Registration Translation Error (m)",
+             dist_err, "inferno_r", 0.0, dist_cap),
+            ("Registration Angle Error (deg)",
+             angle_err, "inferno_r", 0.0, angle_cap),
+        ]
+    panels.append(("Number of Associations",
+                   results.clipper_num_associations, "viridis", 0.0, None))
+    if results.similarity_mat is not None:
+        panels.append(("Similarity Score",
+                       results.similarity_mat, "viridis", 0.0, 1.0))
 
-    if not has_gt:
-        fig, ax = plt.subplots(2 if show_sim else 1, 1, figsize=(8 if show_sim else 4, 4), dpi=dpi)
-        ax = np.array(ax).reshape(-1, 1)
-        mp = ax[0, 0].imshow(results.clipper_num_associations, cmap="viridis", vmin=0)
-        fig.colorbar(mp, fraction=0.04, pad=0.04)
-        ax[0, 0].set_title("Number of Associations")
-        if show_sim:
-            mp = ax[1, 0].imshow(results.similarity_mat, cmap="viridis", vmin=0.0, vmax=1.0)
-            fig.colorbar(mp, fraction=0.04, pad=0.04)
-            ax[1, 0].set_title("Similarity Score")
-        fig.suptitle(
-            f"{results.submap_io.run_name}: "
-            f"{results.submap_io.robot_names[0]}, {results.submap_io.robot_names[1]}"
-        )
-        return fig
-
-    fig, ax = plt.subplots(3, 2, figsize=(8, 12), dpi=dpi)
+    ncol = 1 if len(panels) == 1 else 2
+    nrow = (len(panels) + ncol - 1) // ncol
+    fig, axes = plt.subplots(nrow, ncol, figsize=(4.2 * ncol, 4.0 * nrow),
+                             dpi=dpi, squeeze=False)
+    fig.suptitle("{}: {}, {}".format(results.submap_io.run_name,
+                                     results.submap_io.robot_names[0],
+                                     results.submap_io.robot_names[1]))
     fig.subplots_adjust(wspace=0.3)
-    fig.suptitle(
-        f"{results.submap_io.run_name}: "
-        f"{results.submap_io.robot_names[0]}, {results.submap_io.robot_names[1]}"
-    )
-
-    mp = ax[0, 0].imshow(results.robots_nearby_mat, cmap="magma", vmin=0)
-    fig.colorbar(mp, fraction=0.04, pad=0.04)
-    ax[0, 0].set_title("Submaps Center Distance (m)")
-
-    mp = ax[0, 1].imshow(results.submap_yaw_diff_mat, cmap="magma", vmin=0)
-    fig.colorbar(mp, fraction=0.04, pad=0.04)
-    ax[0, 1].set_title("Submap Center Yaw Diff. (deg)")
-
-    angle_thresh, dist_thresh = 10.0, 5.0
-    angle_error = results.clipper_angle_mat.copy()
-    dist_error = results.clipper_dist_mat.copy()
-    angle_error[(dist_error > dist_thresh) & ~np.isnan(angle_error)] = angle_thresh
-    dist_error[(angle_error > angle_thresh) & ~np.isnan(dist_error)] = dist_thresh
-
-    mp = ax[1, 0].imshow(dist_error, cmap="viridis_r", vmax=dist_thresh, vmin=0.0)
-    fig.colorbar(mp, fraction=0.04, pad=0.04)
-    ax[1, 0].set_title("Registration Translation Error (m)")
-
-    mp = ax[1, 1].imshow(angle_error, cmap="viridis_r", vmax=angle_thresh, vmin=0.0)
-    fig.colorbar(mp, fraction=0.04, pad=0.04)
-    ax[1, 1].set_title("Registration Angle Error (deg)")
-
-    mp = ax[2, 0].imshow(results.clipper_num_associations, cmap="viridis", vmin=0)
-    fig.colorbar(mp, fraction=0.04, pad=0.04)
-    ax[2, 0].set_title("Number of Associations")
-
-    if show_sim:
-        mp = ax[2, 1].imshow(results.similarity_mat, cmap="viridis", vmin=0.0, vmax=1.0)
-        fig.colorbar(mp, fraction=0.04, pad=0.04)
-        ax[2, 1].set_title("Similarity Score")
-    else:
-        fig.delaxes(ax[2, 1])
-
-    for row in ax:
-        for a in row:
-            a.set_xlabel("submap index (robot 2)")
-            a.set_ylabel("submap index (robot 1)")
-            a.grid(False)
+    for k, (title, mat, cmap, vmin, vmax) in enumerate(panels):
+        a = axes[k // ncol][k % ncol]
+        im = a.imshow(np.asarray(mat, float), cmap=cmap, vmin=vmin,
+                      vmax=vmax, interpolation="nearest")
+        fig.colorbar(im, ax=a, shrink=0.85)
+        a.set_title(title)
+        a.set_xlabel("submap index (robot 2)")
+        a.set_ylabel("submap index (robot 1)")
+        a.grid(False)
+    for k in range(len(panels), nrow * ncol):
+        fig.delaxes(axes[k // ncol][k % ncol])
     return fig
 
 

@@ -468,6 +468,28 @@ def align_submap_lists(submaps, cfg: RegistrationConfig,
     n0, n1 = len(submaps[0]), len(submaps[1])
     cap = sm_params.submap_max_size
 
+    if n0 == 0 or n1 == 0:
+        # A degenerate map (e.g. perception produced no segments) must
+        # not kill the multi-stage pipeline: emit a well-formed empty
+        # result so the g2o/json artifacts exist with zero loop closures
+        # and the rpgo stage still runs on odometry (failure-recovery
+        # posture; the reference has no equivalent guard and crashes).
+        nanmat = np.full((n0, n1), np.nan)
+        return SubmapAlignResults(
+            robots_nearby_mat=nanmat.copy(),
+            clipper_angle_mat=nanmat.copy(),
+            clipper_dist_mat=nanmat.copy(),
+            clipper_num_associations=np.zeros((n0, n1), int),
+            similarity_mat=None,
+            submap_yaw_diff_mat=nanmat.copy(),
+            associated_objs_mat=[[np.zeros((0, 2), int)] * n1] * n0,
+            T_ij_mat=np.zeros((n0, n1, 4, 4)),
+            T_ij_hat_mat=np.full((n0, n1, 4, 4), np.nan),
+            timing_list=[],
+            submap_align_params=sm_params,
+            submap_io=sm_io,
+        )
+
     feats = []
     auxs = []
     desc_dim = sm_params.semantics_dim if cfg.feature_flags[4] or cfg.method == "clipper+prune" else 0

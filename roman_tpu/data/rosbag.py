@@ -967,22 +967,64 @@ def read_pointclouds(path: str, topic: str) -> Tuple[np.ndarray, List[np.ndarray
     return np.asarray(times), clouds
 
 
-def read_static_transform(path: str, parent: str, child: str) -> np.ndarray:
+def read_static_transform(path: str, parent: str, child: str,
+                          include_non_static: bool = False) -> np.ndarray:
     """(4, 4) static transform parent->child from /tf_static (or /tf)
-    messages — the reference pulls sensor extrinsics from bag TF
-    (align_pointcloud.py:43-57)."""
+    messages — the reference pulls sensor extrinsics from bag TF via
+    robotdatapy's any_static_tf_from_bag (data_params.py:39-57,
+    align_pointcloud.py:43-57). Like robotdatapy, the lookup CHAINS
+    through the TF tree: if no direct (parent, child) edge exists, the
+    shortest path of static edges is composed (edges may be traversed
+    against their published direction, inverting). With
+    include_non_static, /tf edges participate too, each at its first
+    published value (for extrinsics published on /tf that are
+    'theoretically static')."""
     from roman_tpu.ops import se3_np
 
     reader = open_reader(path)
-    topics = [t for t in ("/tf_static", "/tf") if t in reader.topics]
+    topics = [t for t in (("/tf_static", "/tf") if include_non_static
+                          else ("/tf_static",)) if t in reader.topics]
+    if not topics and "/tf" in reader.topics:
+        topics = ["/tf"]  # bags that only publish static frames on /tf
     if not topics:
         raise KeyError(f"no /tf_static or /tf in bag (have "
                        f"{sorted(reader.topics)})")
+    # edge map (parent, child) -> first-seen T, frames normalized
+    edges: Dict[Tuple[str, str], np.ndarray] = {}
+    adj: Dict[str, list] = {}
     for _, msg, _ in reader.read_messages(topics):
         for tr in msg["transforms"]:
-            if (tr["header"]["frame_id"].lstrip("/") == parent.lstrip("/")
-                    and tr["child_frame_id"].lstrip("/") == child.lstrip("/")):
-                return se3_np.xyz_quat_to_T(
-                    np.array(tr["transform"]["translation"], np.float64),
-                    np.array(tr["transform"]["rotation"], np.float64))
-    raise KeyError(f"transform {parent}->{child} not found in bag TF")
+            a = tr["header"]["frame_id"].lstrip("/")
+            b = tr["child_frame_id"].lstrip("/")
+            if (a, b) in edges:
+                continue
+            edges[(a, b)] = se3_np.xyz_quat_to_T(
+                np.array(tr["transform"]["translation"], np.float64),
+                np.array(tr["transform"]["rotation"], np.float64))
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+    src, dst = parent.lstrip("/"), child.lstrip("/")
+    if src == dst:
+        return np.eye(4)
+    # BFS for the shortest frame path, then compose along it
+    prev: Dict[str, str] = {src: src}
+    queue = [src]
+    while queue and dst not in prev:
+        cur = queue.pop(0)
+        for nxt in adj.get(cur, []):
+            if nxt not in prev:
+                prev[nxt] = cur
+                queue.append(nxt)
+    if dst not in prev:
+        raise KeyError(f"transform {parent}->{child} not found in bag TF "
+                       f"(frames: {sorted(adj)})")
+    path_frames = [dst]
+    while path_frames[-1] != src:
+        path_frames.append(prev[path_frames[-1]])
+    path_frames.reverse()
+    T = np.eye(4)
+    for a, b in zip(path_frames[:-1], path_frames[1:]):
+        step = (edges[(a, b)] if (a, b) in edges
+                else np.linalg.inv(edges[(b, a)]))
+        T = T @ step
+    return T

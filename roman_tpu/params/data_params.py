@@ -28,9 +28,15 @@ T_FLURDF = np.array(
 T_RDFFLU = np.linalg.inv(T_FLURDF)
 
 
-def find_transformation(param_dict: dict) -> np.ndarray:
-    """Transform spec resolution (data_params.py:25-62): 'string' or
-    'matrix' input types ('tf' needs ROS bags, unsupported here)."""
+def find_transformation(param_dict: dict,
+                        bag_path: Optional[str] = None) -> np.ndarray:
+    """Transform spec resolution (reference data_params.py:25-62):
+    'string', 'matrix', or 'tf' input types. 'tf' looks the (parent,
+    child) transform up in the run's bag TF tree (chained static lookup,
+    rosbag.read_static_transform — robotdatapy any_static_tf_from_bag
+    semantics; include_non_static_tf admits /tf edges at their first
+    published value). The bag defaults to the enclosing source's path;
+    an explicit 'path' key overrides it."""
     kind = param_dict["input_type"]
     if kind == "string":
         if param_dict["string"] == "T_FLURDF":
@@ -40,6 +46,19 @@ def find_transformation(param_dict: dict) -> np.ndarray:
         raise ValueError("Invalid string.")
     if kind == "matrix":
         return np.array(param_dict["matrix"]).reshape(4, 4)
+    if kind == "tf":
+        from roman_tpu.data import rosbag
+
+        path = param_dict.get("path", bag_path)
+        if path is None:
+            raise ValueError("input_type 'tf' needs a bag source "
+                             "('path' key or an enclosing bag params)")
+        return rosbag.read_static_transform(
+            expandvars_recursive(path),
+            expandvars_recursive(param_dict["parent"]),
+            expandvars_recursive(param_dict["child"]),
+            include_non_static=param_dict.get("include_non_static_tf",
+                                              False))
     raise ValueError(f"unsupported transformation input_type {kind!r}")
 
 
@@ -93,7 +112,8 @@ class DataParams:
         T_post = None
         for key in ("T_postmultiply", "T_odombase_camera"):
             if p.get(key) is not None:
-                T_post = find_transformation(p.pop(key))
+                T_post = find_transformation(
+                    p.pop(key), bag_path=path if kind == "bag" else None)
                 break
         p.pop("T_camera_flu", None)
         # delegate source dispatch to the shared spec loader so csv
@@ -114,7 +134,11 @@ class DataParams:
         PoseDataParams.T_camera_flu + Mapper.set_T_camera_flu)."""
         p = self.pose_data_params or {}
         spec = p.get("T_camera_flu")
-        return None if spec is None else find_transformation(spec)
+        if spec is None:
+            return None
+        bag = p.get("path") if p.get("type") == "bag" else None
+        return find_transformation(
+            spec, bag_path=expandvars_recursive(bag) if bag else None)
 
     def load_camera_params(self) -> CameraParams:
         p = self.img_data_params or {}

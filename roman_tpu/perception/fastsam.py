@@ -152,6 +152,12 @@ class DetectSegHead(nn.Module):
 
 
 class Proto(nn.Module):
+    """Mask prototype net — module layout matches ultralytics Proto
+    exactly (cv1 Conv3x3 -> LEARNED 2x2/2 ConvTranspose -> cv2 Conv3x3 ->
+    cv3 Conv-BN-SiLU 1x1): real yolov8-seg/FastSAM-x checkpoints carry
+    proto.upsample.{weight,bias} and proto.cv3.bn.* keys, so a nearest
+    upsample + plain cv3 conv cannot load them."""
+
     cfg: YoloSegConfig
 
     @nn.compact
@@ -159,9 +165,10 @@ class Proto(nn.Module):
         c = self.cfg
         cp = max(c.ch(256), c.nm)
         x = ConvBnSiLU(cp, 3, dtype=c.dtype, name="cv1")(x)
-        x = _upsample2(x)
+        x = nn.ConvTranspose(cp, (2, 2), strides=(2, 2), padding="VALID",
+                             dtype=c.dtype, name="upsample")(x)
         x = ConvBnSiLU(cp, 3, dtype=c.dtype, name="cv2")(x)
-        return nn.Conv(c.nm, (1, 1), dtype=c.dtype, name="cv3")(x)
+        return ConvBnSiLU(c.nm, 1, dtype=c.dtype, name="cv3")(x)
 
 
 class YoloSeg(nn.Module):
@@ -292,12 +299,20 @@ def convert_ultralytics_state_dict(sd, cfg: YoloSegConfig) -> dict:
             tree[name] = _conv_bn(sd, str(idx))
         else:
             tree[name] = c2f(str(idx), cfg.n(3))
-    # Segment head (module 22): proto + per-level cv2/cv3/cv4 lists
+    # Segment head (module 22): proto + per-level cv2/cv3/cv4 lists.
+    # proto.upsample is torch ConvTranspose2d weight (in, out, kh, kw);
+    # flax ConvTranspose wants (kh, kw, in, out) with the SPATIAL TAPS
+    # FLIPPED (verified exact against torch on random weights).
+    up_w = np.asarray(sd["22.proto.upsample.weight"])
     tree["proto"] = {
         "cv1": _conv_bn(sd, "22.proto.cv1"),
+        "upsample": {
+            "kernel": np.ascontiguousarray(
+                np.transpose(up_w[:, :, ::-1, ::-1], (2, 3, 0, 1))),
+            "bias": np.asarray(sd["22.proto.upsample.bias"]),
+        },
         "cv2": _conv_bn(sd, "22.proto.cv2"),
-        "cv3": {"kernel": np.transpose(np.asarray(sd["22.proto.cv3.weight"]), (2, 3, 1, 0)),
-                "bias": np.asarray(sd["22.proto.cv3.bias"])},
+        "cv3": _conv_bn(sd, "22.proto.cv3"),
     }
     for lvl in range(3):
         head = {}

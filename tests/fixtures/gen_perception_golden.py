@@ -55,10 +55,205 @@ def main():
     for k, v in cmodel.state_dict().items():
         out[f"clip.sd.{k}"] = v.detach().cpu().numpy()
 
+    # --- YOLOv8-seg tiny (mirrors roman_tpu TINY_TEST config) ---------
+    # A plain-torch implementation of the ultralytics yolov8-seg module
+    # graph with the EXACT ultralytics state_dict naming (model.{idx}.*),
+    # so convert_ultralytics_state_dict is exercised against an
+    # independent torch forward (the contract is the reference's
+    # FastSAM-x checkpoint loading, roman/map/fastsam_wrapper.py:90,
+    # :517-525). No ultralytics install needed.
+    sd, yolo_out = _torch_yolov8_seg_tiny()
+    for k, v in sd.items():
+        out[f"yolo.sd.{k}"] = v
+    for k, v in yolo_out.items():
+        out[f"yolo.{k}"] = v
+
     path = os.path.join(os.path.dirname(__file__), "perception_golden.npz")
     np.savez_compressed(path, **out)
     print(f"wrote {path} ({os.path.getsize(path) / 1024:.0f} KB, "
           f"{len(out)} arrays)")
+
+
+def _torch_yolov8_seg_tiny():
+    """Build + run the torch mirror. Widths follow TINY_TEST:
+    width_mult=.125, depth_mult=.33, max_channels=512, nc=1, reg_max=16,
+    nm=8 -> ch64..ch1024 = 8/16/32/64/64, n(3)=1, n(6)=2."""
+    import torch
+    import torch.nn as tn
+
+    class Conv(tn.Module):
+        def __init__(self, c1, c2, k=1, s=1):
+            super().__init__()
+            self.conv = tn.Conv2d(c1, c2, k, s, k // 2, bias=False)
+            self.bn = tn.BatchNorm2d(c2, eps=1e-3)
+            self.act = tn.SiLU()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class Bottleneck(tn.Module):
+        def __init__(self, c1, c2, shortcut=True):
+            super().__init__()
+            self.cv1 = Conv(c1, c2, 3)
+            self.cv2 = Conv(c2, c2, 3)
+            self.add = shortcut and c1 == c2
+
+        def forward(self, x):
+            y = self.cv2(self.cv1(x))
+            return x + y if self.add else y
+
+    class C2f(tn.Module):
+        def __init__(self, c1, c2, n=1, shortcut=True):
+            super().__init__()
+            self.c = c2 // 2
+            self.cv1 = Conv(c1, 2 * self.c, 1)
+            self.cv2 = Conv((2 + n) * self.c, c2, 1)
+            self.m = tn.ModuleList(
+                Bottleneck(self.c, self.c, shortcut) for _ in range(n))
+
+        def forward(self, x):
+            y = list(self.cv1(x).chunk(2, 1))
+            for m in self.m:
+                y.append(m(y[-1]))
+            return self.cv2(torch.cat(y, 1))
+
+    class SPPF(tn.Module):
+        def __init__(self, c1, c2):
+            super().__init__()
+            c_ = c1 // 2
+            self.cv1 = Conv(c1, c_, 1)
+            self.cv2 = Conv(c_ * 4, c2, 1)
+            self.m = tn.MaxPool2d(5, 1, 2)
+
+        def forward(self, x):
+            x = self.cv1(x)
+            y1 = self.m(x)
+            y2 = self.m(y1)
+            y3 = self.m(y2)
+            return self.cv2(torch.cat([x, y1, y2, y3], 1))
+
+    class Proto(tn.Module):
+        def __init__(self, c1, c_, c2):
+            super().__init__()
+            self.cv1 = Conv(c1, c_, 3)
+            self.upsample = tn.ConvTranspose2d(c_, c_, 2, 2, 0, bias=True)
+            self.cv2 = Conv(c_, c_, 3)
+            self.cv3 = Conv(c_, c2)
+
+        def forward(self, x):
+            return self.cv3(self.cv2(self.upsample(self.cv1(x))))
+
+    class Segment(tn.Module):
+        def __init__(self, ch, nc=1, reg_max=16, nm=8):
+            super().__init__()
+            c2 = max(16, ch[0] // 4, reg_max * 4)
+            c3 = max(ch[0], min(nc, 100))
+            c4 = max(ch[0] // 4, nm)
+            self.cv2 = tn.ModuleList(
+                tn.Sequential(Conv(c, c2, 3), Conv(c2, c2, 3),
+                              tn.Conv2d(c2, 4 * reg_max, 1)) for c in ch)
+            self.cv3 = tn.ModuleList(
+                tn.Sequential(Conv(c, c3, 3), Conv(c3, c3, 3),
+                              tn.Conv2d(c3, nc, 1)) for c in ch)
+            self.cv4 = tn.ModuleList(
+                tn.Sequential(Conv(c, c4, 3), Conv(c4, c4, 3),
+                              tn.Conv2d(c4, nm, 1)) for c in ch)
+            self.proto = Proto(ch[0], max(ch[0], nm), nm)
+
+    c64, c128, c256, c512, c1024 = 8, 16, 32, 64, 64
+    n3, n6 = 1, 2
+
+    class Yolo(tn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = tn.ModuleList([
+                Conv(3, c64, 3, 2),                        # 0
+                Conv(c64, c128, 3, 2),                     # 1
+                C2f(c128, c128, n3, True),                 # 2
+                Conv(c128, c256, 3, 2),                    # 3
+                C2f(c256, c256, n6, True),                 # 4  P3
+                Conv(c256, c512, 3, 2),                    # 5
+                C2f(c512, c512, n6, True),                 # 6  P4
+                Conv(c512, c1024, 3, 2),                   # 7
+                C2f(c1024, c1024, n3, True),               # 8
+                SPPF(c1024, c1024),                        # 9  P5
+                tn.Identity(),                             # 10 upsample
+                tn.Identity(),                             # 11 concat
+                C2f(c1024 + c512, c512, n3, False),        # 12
+                tn.Identity(),                             # 13 upsample
+                tn.Identity(),                             # 14 concat
+                C2f(c512 + c256, c256, n3, False),         # 15 P3 out
+                Conv(c256, c256, 3, 2),                    # 16
+                tn.Identity(),                             # 17 concat
+                C2f(c256 + c512, c512, n3, False),         # 18 P4 out
+                Conv(c512, c512, 3, 2),                    # 19
+                tn.Identity(),                             # 20 concat
+                C2f(c512 + c1024, c1024, n3, False),       # 21 P5 out
+                Segment([c256, c512, c1024]),              # 22
+            ])
+
+        def forward(self, x):
+            m = self.model
+            up = tn.functional.interpolate
+            x = m[2](m[1](m[0](x)))
+            p3 = m[4](m[3](x))
+            p4 = m[6](m[5](p3))
+            p5 = m[9](m[8](m[7](p4)))
+            n12 = m[12](torch.cat(
+                [up(p5, scale_factor=2, mode="nearest"), p4], 1))
+            n15 = m[15](torch.cat(
+                [up(n12, scale_factor=2, mode="nearest"), p3], 1))
+            n18 = m[18](torch.cat([m[16](n15), n12], 1))
+            n21 = m[21](torch.cat([m[19](n18), p5], 1))
+            seg = m[22]
+            levels = []
+            for lvl, f in enumerate([n15, n18, n21]):
+                levels.append((seg.cv2[lvl](f), seg.cv3[lvl](f),
+                               seg.cv4[lvl](f)))
+            return levels, seg.proto(n15)
+
+    torch.manual_seed(2)
+    net = Yolo().eval()
+    # non-trivial BN running stats (fresh BN has mean 0 / var 1, which
+    # would let a converter that drops running stats pass unnoticed)
+    rng = np.random.default_rng(99)
+    with torch.no_grad():
+        for mod in net.modules():
+            if isinstance(mod, tn.BatchNorm2d):
+                n = mod.running_mean.shape[0]
+                mod.running_mean += torch.tensor(
+                    rng.normal(0, 0.3, n), dtype=torch.float32)
+                mod.running_var *= torch.tensor(
+                    rng.uniform(0.5, 2.0, n), dtype=torch.float32)
+    img = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        levels, proto = net(torch.tensor(img.transpose(0, 3, 1, 2)))
+    res = {"image": img}
+    for lvl, (box, cls, mc) in enumerate(levels):
+        res[f"expected_box{lvl}"] = box.numpy().transpose(0, 2, 3, 1)
+        res[f"expected_cls{lvl}"] = cls.numpy().transpose(0, 2, 3, 1)
+        res[f"expected_mc{lvl}"] = mc.numpy().transpose(0, 2, 3, 1)
+    res["expected_proto"] = proto.numpy().transpose(0, 2, 3, 1)
+
+    # independent DFL + mask-assembly references (decode-math parity
+    # without torch at test time)
+    dfl_logits = rng.normal(size=(5, 64)).astype(np.float32)
+    t = torch.tensor(dfl_logits).reshape(5, 4, 16)
+    dfl = (t.softmax(-1) * torch.arange(16.0)).sum(-1).numpy()
+    res["dfl_logits"] = dfl_logits
+    res["expected_dfl"] = dfl
+    coefs = rng.normal(size=(3, 8)).astype(np.float32)
+    pr = rng.normal(size=(16, 16, 8)).astype(np.float32)
+    masks = torch.sigmoid(
+        torch.einsum("kc,hwc->khw", torch.tensor(coefs),
+                     torch.tensor(pr))).numpy()
+    res["mask_coefs"] = coefs
+    res["mask_proto"] = pr
+    res["expected_masks"] = masks
+
+    sd = {f"model.{k}": v.detach().cpu().numpy()
+          for k, v in net.model.state_dict().items()}
+    return sd, res
 
 
 if __name__ == "__main__":

@@ -207,3 +207,54 @@ def test_head_hidden_widths_match_ultralytics():
         assert p["cv3_0"]["conv"]["kernel"].shape[-1] == want_cc, lvl
         assert p["cv4_0"]["conv"]["kernel"].shape[-1] == want_c4, lvl
         assert p["cv2_2"]["kernel"].shape[-1] == 4 * c.reg_max
+
+
+def test_yolov8_converter_matches_golden():
+    """Converter + flax forward vs a frozen independent torch
+    implementation of the ultralytics yolov8-seg module graph
+    (tests/fixtures/gen_perception_golden.py, exact ultralytics
+    state_dict naming incl. Proto's learned ConvTranspose upsample and
+    Conv-BN-SiLU cv3; perturbed BN running stats so dropped stats can't
+    pass silently). Protects the reference's FastSAM-x checkpoint
+    loading contract (roman/map/fastsam_wrapper.py:90, :517-525) without
+    torch at test time."""
+    import dataclasses
+    import os
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                                  "perception_golden.npz"))
+    sd = {k[len("yolo.sd."):]: golden[k] for k in golden.files
+          if k.startswith("yolo.sd.")}
+    cfg = dataclasses.replace(fastsam.TINY_TEST, dtype=jnp.float32)
+    variables = fastsam.convert_ultralytics_state_dict(sd, cfg)
+    out = fastsam.YoloSeg(cfg).apply(variables,
+                                     jnp.asarray(golden["yolo.image"]))
+    for lvl in range(3):
+        box, cls, mc = out["levels"][lvl]
+        np.testing.assert_allclose(
+            np.asarray(box, np.float32), golden[f"yolo.expected_box{lvl}"],
+            atol=3e-4, err_msg=f"box level {lvl}")
+        np.testing.assert_allclose(
+            np.asarray(cls, np.float32), golden[f"yolo.expected_cls{lvl}"],
+            atol=3e-4, err_msg=f"cls level {lvl}")
+        np.testing.assert_allclose(
+            np.asarray(mc, np.float32), golden[f"yolo.expected_mc{lvl}"],
+            atol=3e-4, err_msg=f"mc level {lvl}")
+    np.testing.assert_allclose(np.asarray(out["proto"], np.float32),
+                               golden["yolo.expected_proto"], atol=3e-4)
+
+
+def test_dfl_and_mask_assembly_match_golden():
+    """dfl_decode and prototype-mask assembly vs frozen torch math."""
+    import os
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                                  "perception_golden.npz"))
+    dfl = np.asarray(fastsam.dfl_decode(jnp.asarray(golden["yolo.dfl_logits"]),
+                                        16))
+    np.testing.assert_allclose(dfl, golden["yolo.expected_dfl"], atol=1e-5)
+    masks = np.asarray(jax.nn.sigmoid(jnp.einsum(
+        "kc,hwc->khw", jnp.asarray(golden["yolo.mask_coefs"]),
+        jnp.asarray(golden["yolo.mask_proto"]))))
+    np.testing.assert_allclose(masks, golden["yolo.expected_masks"],
+                               atol=1e-5)

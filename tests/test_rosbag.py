@@ -440,3 +440,82 @@ def test_reader_cache_and_lazy_chunks(tmp_path):
     _os.utime(path, ns=(1, 1))
     r3 = rosbag.open_reader(path)
     assert r3 is not r1
+
+
+def test_static_transform_chained_and_tf_input_type(tmp_path):
+    """Chained TF lookup (robotdatapy any_static_tf_from_bag semantics:
+    reference data_params.py:39-57): no direct (parent, child) edge —
+    compose along the static TF tree, traversing edges backwards where
+    needed — plus the data.yaml 'input_type: tf' spec resolving against
+    the pose source's own bag."""
+    import yaml
+
+    from roman_tpu.ops import se3_np
+    from roman_tpu.params.data_params import DataParams, find_transformation
+
+    bag = str(tmp_path / "tf.bag")
+    rng = np.random.default_rng(7)
+
+    def rand_T():
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        return se3_np.xyz_quat_to_T(rng.normal(size=3), q)
+
+    # tree: base -> camera, base -> imu, imu -> lidar  (camera->lidar
+    # needs camera<-base->imu->lidar, first hop inverted)
+    T_base_cam, T_base_imu, T_imu_lidar = rand_T(), rand_T(), rand_T()
+
+    def tf_msg(parent, child, T):
+        t, q = se3_np.T_to_xyz_quat(T)
+        return {"transforms": [{
+            "header": {"stamp": 0.0, "frame_id": parent},
+            "child_frame_id": child,
+            "transform": {"translation": t, "rotation": q}}]}
+
+    with rosbag.BagWriter(bag) as w:
+        w.write("/tf_static", "tf2_msgs/TFMessage",
+                tf_msg("base", "camera", T_base_cam), 0.0)
+        w.write("/tf_static", "tf2_msgs/TFMessage",
+                tf_msg("base", "imu", T_base_imu), 0.0)
+        w.write("/tf_static", "tf2_msgs/TFMessage",
+                tf_msg("imu", "lidar", T_imu_lidar), 0.0)
+        # odometry so the bag can serve as a pose source below
+        for k in range(4):
+            w.write("/odom", "nav_msgs/Odometry", {
+                "header": {"stamp": float(k), "frame_id": "odom"},
+                "child_frame_id": "base",
+                "pose": {"position": np.array([0.5 * k, 0.0, 0.0]),
+                         "orientation": np.array([0, 0, 0, 1.0])},
+            }, float(k))
+
+    T = rosbag.read_static_transform(bag, "camera", "lidar")
+    expect = np.linalg.inv(T_base_cam) @ T_base_imu @ T_imu_lidar
+    np.testing.assert_allclose(T, expect, atol=1e-9)
+    np.testing.assert_allclose(
+        rosbag.read_static_transform(bag, "lidar", "camera"),
+        np.linalg.inv(expect), atol=1e-9)
+    np.testing.assert_allclose(
+        rosbag.read_static_transform(bag, "imu", "imu"), np.eye(4))
+    with pytest.raises(KeyError):
+        rosbag.read_static_transform(bag, "camera", "wheel")
+
+    # data.yaml: pose source = the bag's odometry, post-multiplied by a
+    # TF-resolved extrinsic (reference T_odombase_camera via input_type tf)
+    yml = tmp_path / "data.yaml"
+    yml.write_text(yaml.safe_dump({
+        "runs": ["r0"],
+        "pose_data": {"type": "bag", "path": bag, "topic": "/odom",
+                      "T_postmultiply": {"input_type": "tf",
+                                         "parent": "base",
+                                         "child": "camera"}},
+    }))
+    dp = DataParams.from_yaml(str(yml), "r0")
+    pd = dp.load_pose_data()
+    odom3 = se3_np.xyz_quat_to_T(np.array([1.5, 0.0, 0.0]),
+                                 np.array([0.0, 0, 0, 1.0]))
+    np.testing.assert_allclose(pd.poses[3], odom3 @ T_base_cam, atol=1e-9)
+
+    # standalone spec with explicit path
+    T2 = find_transformation({"input_type": "tf", "path": bag,
+                              "parent": "base", "child": "lidar"})
+    np.testing.assert_allclose(T2, T_base_imu @ T_imu_lidar, atol=1e-9)

@@ -158,3 +158,81 @@ def test_skip_distance_zero_and_no_gt(sim_setup):
     assert accepted.sum() > 0  # est-pose gating still finds the overlap
     assert os.path.exists(sm_io2.output_g2o)
     assert os.path.exists(sm_io2.output_img)
+
+
+def test_pack_result_roundtrip_all_bit_positions():
+    """_pack_result/_unpack_result exactness over every bit position.
+
+    The sel bitfield packs 32 bools per int32 word via left-shift; bit 31
+    lands in the sign bit (defined wraparound in XLA) and _unpack_result
+    relies on numpy's arithmetic-shift low-bit semantics. Guard the pair
+    against refactors by round-tripping each single-bit pattern, the
+    all-ones pattern, and random patterns, at an n*m that is NOT a
+    multiple of 32 (exercises the padding tail). Also checks exact f32
+    bitcasts incl. negative zero, denormals, inf and nan payloads.
+    """
+    import jax.numpy as jnp
+
+    from roman_tpu.align.registration import RegistrationResult
+    from roman_tpu.align.submap_align import _pack_result, _unpack_result
+
+    n, m = 7, 10  # nm=70 -> 3 words, 26 pad bits
+    nm = n * m
+    rng = np.random.default_rng(0)
+    patterns = [np.zeros(nm, bool), np.ones(nm, bool)]
+    for b in range(nm):  # every bit position incl. each word's bit 31
+        one = np.zeros(nm, bool)
+        one[b] = True
+        patterns.append(one)
+    patterns += [rng.random(nm) < 0.5 for _ in range(4)]
+    sel = np.stack(patterns).reshape(len(patterns), n, m)
+
+    batch = (len(patterns),)
+    specials = np.array([-0.0, np.inf, -np.inf, np.nan, 1e-45, -1e-39,
+                         3.14159, -2.5e20], np.float32)
+    T = rng.choice(specials, size=batch + (4, 4)).astype(np.float32)
+    res = RegistrationResult(
+        sel=jnp.asarray(sel), count=jnp.asarray(sel.sum((-2, -1))),
+        T_align=jnp.asarray(T),
+        ok=jnp.asarray(rng.random(batch) < 0.5),
+        u=None, score=jnp.asarray(specials[rng.integers(0, 8, batch)]),
+        converged=jnp.asarray(rng.random(batch) < 0.5))
+
+    packed = np.asarray(_pack_result(res))
+    out = _unpack_result(packed, n, m, has_converged=True)
+    np.testing.assert_array_equal(out.sel, sel)
+    np.testing.assert_array_equal(out.count, np.asarray(res.count))
+    np.testing.assert_array_equal(
+        out.T_align.view(np.int32), T.view(np.int32))  # bit-exact incl. nan
+    np.testing.assert_array_equal(out.ok, np.asarray(res.ok))
+    np.testing.assert_array_equal(
+        out.score.view(np.int32), np.asarray(res.score).view(np.int32))
+    np.testing.assert_array_equal(out.converged, np.asarray(res.converged))
+
+
+def test_align_empty_maps_writes_empty_artifacts(tmp_path):
+    """A degenerate map (no segments — e.g. perception found nothing)
+    must yield a complete, empty artifact set rather than kill the
+    pipeline (failure-recovery; the rpgo stage then runs on odometry)."""
+    from roman_tpu.align.registration import RegistrationConfig
+    from roman_tpu.align.results import save_submap_align_results
+    from roman_tpu.align.submap_align import align_submap_lists
+    from roman_tpu.map.roman_map import RomanMap
+
+    sm_params = SubmapAlignParams(method="roman", semantics_dim=8)
+    out = tmp_path / "out_empty"
+    out.mkdir()
+    sm_io = SubmapAlignInputOutput(
+        inputs=["x.pkl", "y.pkl"], output_dir=str(out), run_name="align",
+        input_gt_pose_yaml=[None, None], robot_names=["r0", "r1"])
+    res = align_submap_lists([[], []], sm_params.get_registration_config(),
+                             sm_params, sm_io)
+    assert res.clipper_num_associations.shape == (0, 0)
+    assert res.T_ij_mat.shape == (0, 0, 4, 4)
+    maps = [RomanMap(segments=[], times=np.zeros(1),
+                     trajectory=np.eye(4)[None]) for _ in range(2)]
+    save_submap_align_results(res, [[], []], maps)
+    assert os.path.exists(sm_io.output_g2o)
+    with open(sm_io.output_g2o) as f:
+        assert f.read().strip() == ""
+    assert os.path.exists(sm_io.output_lc_json)
