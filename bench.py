@@ -413,12 +413,13 @@ def flops_per_pair(n, m, desc_dim, n_ratio, solver, refine_iters=6,
     the speed-of-light for the shape actually is."""
     N = n * m
     matvec = 2.0 * N * N
-    n_matvecs = (solver.warmup_iters
-                 + solver.outer_iters * (solver.inner_iters + 1)
-                 + 1                       # final Mu (omega + objective)
+    R = getattr(solver, "n_restarts", 1)   # restart rows ride the homotopy
+    n_matvecs = (solver.warmup_iters       # warmup is single-row
+                 + R * (solver.outer_iters * (solver.inner_iters + 1)
+                        + 1)               # final Mu (omega + objective)
                  + 2 * refine_iters)       # support + zero-edge counts
     cb = 2.0 * N * (n + m) * 2             # rank-structured constraint
-    n_cb = solver.outer_iters * (solver.inner_iters + 1) + 1
+    n_cb = R * (solver.outer_iters * (solver.inner_iters + 1) + 1)
     build = (
         2 * (n * m * desc_dim * 2.0)       # cosine scores, both layouts
         + 2 * (n * m * max(n_ratio, 1) * 6.0)  # ratio geometric means
@@ -583,6 +584,12 @@ def main():
                          "measure the reduced budget's cost)")
     ap.add_argument("--pairs-per-step", type=int, default=None,
                     help="override pallas_pairs_per_step (K)")
+    ap.add_argument("--restarts", type=int, default=None,
+                    help="override ClipperSolveParams.n_restarts: R "
+                         "perturbed homotopy starts per pair, solved as "
+                         "extra rows of the same per-pair MXU matvec; the "
+                         "best feasible-omega restart wins (the serial "
+                         "baseline stays single-start by design)")
     ap.add_argument("--capacity", type=int, default=40,
                     help="submap capacity (objects per submap; reference "
                          "SubmapParams.max_size knob, map.py:165-192). "
@@ -633,7 +640,7 @@ def main():
     submaps, feats, auxs, cfg, runs = build_workload(
         desc_dim=args.desc_dim, n_robots=args.robots,
         max_size=args.capacity)
-    if args.solver_iters or args.pairs_per_step:
+    if args.solver_iters or args.pairs_per_step or args.restarts:
         import dataclasses as _dc
 
         from roman_tpu.align.clipper import ClipperSolveParams
@@ -642,6 +649,9 @@ def main():
             w, o, i = args.solver_iters
             cfg = _dc.replace(cfg, solver=ClipperSolveParams(
                 warmup_iters=w, outer_iters=o, inner_iters=i))
+        if args.restarts:
+            cfg = _dc.replace(
+                cfg, solver=cfg.solver.replace(n_restarts=args.restarts))
         if args.pairs_per_step:
             cfg = _dc.replace(cfg, pallas_pairs_per_step=args.pairs_per_step)
     P, xla_pps, res_xla, pair_i, pair_j, _ = run_tpu(
@@ -708,6 +718,8 @@ def main():
         record["pallas_pairs_per_sec"] = round(pallas_pps, 2)
     if args.solver_iters:
         record["solver_iters"] = args.solver_iters
+    if args.restarts:
+        record["n_restarts"] = args.restarts
     if args.pairs_per_step:
         record["pairs_per_step"] = args.pairs_per_step
     if args.robots > 2:

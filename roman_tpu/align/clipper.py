@@ -53,6 +53,31 @@ class ClipperSolveParams:
     outer_iters: int = struct.field(pytree_node=False, default=6)
     inner_iters: int = struct.field(pytree_node=False, default=6)
     active_eps: float = 1e-6
+    # multi-restart homotopy: the projected power iteration with penalty
+    # homotopy is nonconvex — a hard instance (sparse genuine subgraph
+    # under heavy odometry drift) can localize the eigenvector on a
+    # single node. n_restarts > 1 runs R perturbed copies of the warmed
+    # start through the SAME homotopy (restart_inits) and keeps the
+    # feasible solution with the largest unpenalized omega = u'Mu. The
+    # MXU pays for a full tile of matvec rows whether 1 or R are live
+    # ((R, N) x (N, N) streams the matrix once), so restarts are nearly
+    # free in wall clock (see docs/PERF.md).
+    n_restarts: int = struct.field(pytree_node=False, default=1)
+
+
+def restart_noise(n_restarts: int, N: int):
+    """Deterministic nonnegative (R, N) f32 init noise for multi-restart
+    homotopy. Row 0 is all zeros (restart 0 reproduces the single-start
+    trajectory); rows 1..R-1 are uniform [0, 1) from a FIXED seed. The
+    XLA engine, the standalone pallas solve kernel and the fused register
+    kernel all consume this exact array, so a restart sweep is
+    reproducible and the engines stay comparable."""
+    import numpy as np
+
+    rng = np.random.default_rng(0x5EED)
+    z = rng.uniform(size=(n_restarts, N)).astype(np.float32)
+    z[0] = 0.0
+    return z
 
 
 def _cb_matvec(U: jax.Array) -> jax.Array:
@@ -108,11 +133,24 @@ def solve_2d(M: jax.Array, n: int, m: int, valid: jax.Array,
     batch = M.shape[:-2]
     N = n * m
     validf = valid.astype(jnp.float32)
+    R = params.n_restarts
 
     def m_matvec(U):
-        u = U.reshape(batch + (N, 1)).astype(jnp.bfloat16)
-        r = jnp.matmul(M, u, preferred_element_type=jnp.float32)
-        return r.reshape(batch + (n, m))
+        # U: batch + (n, m), or batch + (R, n, m) during a multi-restart
+        # homotopy. Either way M is streamed ONCE per pair: the restart
+        # rows ride as extra matmul columns (batch + (N, R) right
+        # operand), which the MXU pays for whether 1 or R are live.
+        multi = U.ndim == len(batch) + 3
+        lead = U.shape[:-2]
+        if multi:
+            u = jnp.swapaxes(U.reshape(lead + (N,)), -1, -2)  # batch+(N, R)
+        else:
+            u = U.reshape(lead + (N,))[..., None]             # batch+(N, 1)
+        r = jnp.matmul(M, u.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        if multi:
+            return jnp.swapaxes(r, -1, -2).reshape(lead + (n, m))
+        return r[..., 0].reshape(lead + (n, m))
 
     # --- warm start: shifted power iteration toward the Perron vector ---
     U = _normalize(validf + 1e-3)
@@ -123,15 +161,34 @@ def solve_2d(M: jax.Array, n: int, m: int, valid: jax.Array,
 
     U, _ = jax.lax.scan(warm_body, U, None, length=params.warmup_iters)
 
-    # --- homotopy: projected power iterations on M - d*Cb ---
-    d0 = jnp.zeros(batch, jnp.float32)
+    # --- multi-restart expansion (ClipperSolveParams.n_restarts) -------
+    # restart r blends the warmed start toward a deterministic noise
+    # vector: u_r = normalize((u_warm (1 - a_r) + umax a_r z_r) valid),
+    # a_r = r / R. Row 0 keeps u_warm VERBATIM (bit-identical to the
+    # single-start trajectory); the others explore progressively farther
+    # basins of the nonconvex homotopy. Identical formula + noise in the
+    # pallas kernels (clipper_pallas / fused_register).
+    if R > 1:
+        noise = jnp.asarray(restart_noise(R, N)).reshape((R, n, m))
+        a = (jnp.arange(R, dtype=jnp.float32) / R)[:, None, None]
+        umax = jnp.max(U, axis=(-2, -1), keepdims=True)
+        pert = _normalize(
+            (U[..., None, :, :] * (1.0 - a) + umax[..., None, :, :] * a * noise)
+            * validf[..., None, :, :])
+        U = jnp.where(a == 0.0, U[..., None, :, :], pert)
+        validf_h = validf[..., None, :, :]
+        d0 = jnp.zeros(batch + (R,), jnp.float32)
+    else:
+        validf_h = validf
+        d0 = jnp.zeros(batch, jnp.float32)
 
+    # --- homotopy: projected power iterations on M - d*Cb ---
     def outer_body(carry, _):
         U, d = carry
 
         def inner_body(U, _):
             g = m_matvec(U) - d[..., None, None] * _cb_matvec(U)
-            Unew = jnp.maximum(g, 0.0) * validf
+            Unew = jnp.maximum(g, 0.0) * validf_h
             nrm = jnp.sqrt(jnp.sum(Unew * Unew, axis=(-2, -1), keepdims=True))
             Unew = jnp.where(nrm > _EPS, Unew / jnp.maximum(nrm, _EPS), U)
             return Unew, None
@@ -149,6 +206,25 @@ def solve_2d(M: jax.Array, n: int, m: int, valid: jax.Array,
         return (U, d), None
 
     (U, d), _ = jax.lax.scan(outer_body, (U, d0), None, length=params.outer_iters)
+
+    if R > 1:
+        # keep the restart with the best feasible unpenalized omega =
+        # u'Mu (the solver's clique-size estimate); restarts still in
+        # violation score -BIG so any feasible row beats every infeasible
+        # one. First-max tie-break prefers the unperturbed restart 0.
+        Mu = m_matvec(U)
+        Cbu = _cb_matvec(U)
+        omega = jnp.sum(U * Mu, axis=(-2, -1))
+        anyviol = jnp.any((U > params.active_eps) & (Cbu > params.active_eps),
+                          axis=(-2, -1))
+        F_all = jnp.sum(U * (Mu - d[..., None, None] * Cbu), axis=(-2, -1))
+        score = omega - 1e30 * anyviol.astype(jnp.float32)
+        best = jnp.argmax(score, axis=-1)
+        U = jnp.take_along_axis(
+            U, best[..., None, None, None], axis=-3)[..., 0, :, :]
+        d = jnp.take_along_axis(d, best[..., None], axis=-1)[..., 0]
+        F = jnp.take_along_axis(F_all, best[..., None], axis=-1)[..., 0]
+        return U, d, F
 
     Mdu = m_matvec(U) - d[..., None, None] * _cb_matvec(U)
     F = jnp.sum(U * Mdu, axis=(-2, -1))

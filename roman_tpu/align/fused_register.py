@@ -111,10 +111,17 @@ def _build_block_rows(N: int) -> int:
 def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
             c2_ref, c2t_ref, r2_ref, r2t_ref, d2_ref, d2t_ref,
             valid_ref, validt_ref, row_ref, rowt_ref, col_ref, colt_ref,
-            sel_out, count_out, u_out, f_out, m_scratch, mask_scratch,
-            flat_scratch,
-            *, n: int, m: int, K: int, inv: FusedInvariantStatics,
+            *rest,
+            n: int, m: int, K: int, inv: FusedInvariantStatics,
             params: ClipperSolveParams):
+    R = params.n_restarts
+    if R > 1:
+        (noise_ref, sel_out, count_out, u_out, f_out,
+         m_scratch, mask_scratch, flat_scratch) = rest
+    else:
+        noise_ref = None
+        (sel_out, count_out, u_out, f_out,
+         m_scratch, mask_scratch, flat_scratch) = rest
     N = n * m
     B = _build_block_rows(N)
     n_blocks = N // B
@@ -339,13 +346,19 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
     validf = jnp.concatenate(vrows, axis=0)                  # (K, N)
 
     # ================= CLIPPER solve (clipper.solve_2d semantics) ==========
-    def matvec(u):  # (K, N) f32 -> (K, N) f32, per-pair M_k matvec
+    def matvec_rp(u, rp):
+        # (K*rp, N) f32 -> (K*rp, N): per-pair M_k matvec over the pair's
+        # rp restart rows. The MXU streams M_k from VMEM once whether 1 or
+        # rp rows ride in the left operand — restarts are near-free.
         outs = [
-            jnp.dot(u[k:k + 1].astype(jnp.bfloat16), m_scratch[k],
+            jnp.dot(u[k * rp:(k + 1) * rp].astype(jnp.bfloat16), m_scratch[k],
                     preferred_element_type=jnp.float32)
             for k in range(K)
         ]
         return jnp.concatenate(outs, axis=0)
+
+    def matvec(u):  # (K, N) f32 -> (K, N) f32, per-pair M_k matvec
+        return matvec_rp(u, 1)
 
     def cb_matvec(u):  # rank-structured one-to-one constraint matvec;
         # EXACT selector sums — bf16 rounding of u here distorts the
@@ -373,17 +386,44 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
 
     u = jax.lax.fori_loop(0, params.warmup_iters, warm_body, u)
 
+    # --- multi-restart expansion (clipper.solve_2d R > 1 semantics) ----
+    # per pair k, restart r blends the warmed start toward clipper.
+    # restart_noise row r: u_r = normalize((u_warm (1-a_r) + umax a_r
+    # z_r) valid), a_r = r / R; row 0 keeps u_warm verbatim (row0f mask
+    # arithmetic, the Mosaic-safe select form). Restart rows of pair k
+    # live at u[k*R:(k+1)*R] so the per-pair matvec stays one dot.
+    if R > 1:
+        noise = noise_ref[...]                                  # (R, N)
+        a = jax.lax.broadcasted_iota(jnp.float32, (R, 1), 0) / R
+        row0f = jnp.where(a < 0.5 / R, jnp.ones((R, 1), jnp.float32), 0.0)
+        urows, vrows_h = [], []
+        for k in range(K):
+            uk = u[k:k + 1]                                     # (1, N)
+            vk = validf[k:k + 1]
+            umax = jnp.max(uk, axis=-1, keepdims=True)
+            pert = (uk * (1.0 - a) + umax * a * noise) * vk     # (R, N)
+            nrm = jnp.sqrt(jnp.sum(pert * pert, axis=-1, keepdims=True))
+            pert = pert / jnp.maximum(nrm, _EPS)
+            urows.append(uk * row0f + pert * (1.0 - row0f))
+            vrows_h.append(vk * jnp.ones((R, 1), jnp.float32))
+        u = jnp.concatenate(urows, axis=0)                      # (K*R, N)
+        validf_h = jnp.concatenate(vrows_h, axis=0)
+        rp = R
+    else:
+        validf_h = validf
+        rp = 1
+
     def outer_body(_, carry):
         u, d = carry
 
         def inner_body(_, u):
-            g = matvec(u) - d * cb_matvec(u)
-            u_new = jnp.maximum(g, 0.0) * validf
+            g = matvec_rp(u, rp) - d * cb_matvec(u)
+            u_new = jnp.maximum(g, 0.0) * validf_h
             nrm = jnp.sqrt(jnp.sum(u_new * u_new, axis=-1, keepdims=True))
             return jnp.where(nrm > _EPS, u_new / jnp.maximum(nrm, _EPS), u)
 
         u = jax.lax.fori_loop(0, params.inner_iters, inner_body, u)
-        Mu = matvec(u)
+        Mu = matvec_rp(u, rp)
         Cbu = cb_matvec(u)
         viol = (u > params.active_eps) & (Cbu > params.active_eps)
         num = jnp.sum(jnp.where(viol, Mu, 0.0), axis=-1, keepdims=True)
@@ -394,17 +434,47 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
         return u, d
 
     u, d = jax.lax.fori_loop(
-        0, params.outer_iters, outer_body, (u, jnp.zeros((K, 1), jnp.float32)))
+        0, params.outer_iters, outer_body,
+        (u, jnp.zeros((K * rp, 1), jnp.float32)))
 
-    Mu_last = matvec(u)
-    Mdu = Mu_last - d * cb_matvec(u)
-    F_val = jnp.sum(u * Mdu, axis=-1, keepdims=True)     # (K, 1)
+    Mu_last = matvec_rp(u, rp)
+    Cbu_last = cb_matvec(u)
+    F_val = jnp.sum(u * (Mu_last - d * Cbu_last), axis=-1,
+                    keepdims=True)                       # (K*rp, 1)
     # unpenalized clique-size estimate omega = u'Mu: the REFINE target
     # uses this (never trim a sparse genuine subgraph below the solver's
     # own size estimate), while the ROUNDING cap keeps the penalized F —
     # omega >= 1 always (unit diagonal), so an omega cap would strangle
     # weak-but-real pairs. See solve_and_round / refine_selection_2d.
-    omega = jnp.sum(u * Mu_last, axis=-1, keepdims=True)  # (K, 1)
+    omega = jnp.sum(u * Mu_last, axis=-1, keepdims=True)  # (K*rp, 1)
+
+    if R > 1:
+        # per pair, keep the restart with the best feasible unpenalized
+        # omega; infeasible rows score -BIG so any feasible row beats
+        # every infeasible one, first-max tie-break prefers restart 0
+        # (identical rule in clipper.solve_2d / clipper_pallas).
+        anyviol = jnp.any(
+            (u > params.active_eps) & (Cbu_last > params.active_eps),
+            axis=-1, keepdims=True)                      # (K*R, 1)
+        score = omega - jnp.where(anyviol, _BIG_SCORE, 0.0)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        us, Fs, oms = [], [], []
+        for k in range(K):
+            sc = score[k * R:(k + 1) * R]                # (R, 1)
+            mx = jnp.max(sc, axis=0, keepdims=True)
+            first = jnp.min(jnp.where(sc >= mx, iota_r, R), axis=0,
+                            keepdims=True)
+            oh = jnp.where(iota_r == first,
+                           jnp.ones((R, 1), jnp.float32), 0.0)
+            us.append(jnp.sum(u[k * R:(k + 1) * R] * oh, axis=0,
+                              keepdims=True))
+            Fs.append(jnp.sum(F_val[k * R:(k + 1) * R] * oh, axis=0,
+                              keepdims=True))
+            oms.append(jnp.sum(omega[k * R:(k + 1) * R] * oh, axis=0,
+                               keepdims=True))
+        u = jnp.concatenate(us, axis=0)                  # (K, N)
+        F_val = jnp.concatenate(Fs, axis=0)              # (K, 1)
+        omega = jnp.concatenate(oms, axis=0)             # (K, 1)
 
     # ================= greedy rounding (clipper.round_greedy) ==============
     max_steps = min(inv.max_clique, min(n, m))
@@ -611,6 +681,13 @@ def _fused_flat(c1, r1, d1, c2, r2, d2, valid, n: int, m: int,
         pl.BlockSpec((N, m), lambda i: (0, 0)),
         pl.BlockSpec((m, N), lambda i: (0, 0)),
     ]
+    extra_inputs = []
+    if params.n_restarts > 1:
+        from roman_tpu.align.clipper import restart_noise
+
+        extra_inputs.append(jnp.asarray(restart_noise(params.n_restarts, N)))
+        in_specs.append(
+            pl.BlockSpec((params.n_restarts, N), lambda i: (0, 0)))
     # outputs are (n_steps, K, ...) so each block spans the full
     # trailing dims (TPU blocks must tile the last two dims exactly)
     out_specs = [
@@ -641,7 +718,7 @@ def _fused_flat(c1, r1, d1, c2, r2, d2, valid, n: int, m: int,
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(*inputs, jnp.asarray(ROW), jnp.asarray(ROW.T.copy()),
-      jnp.asarray(COL), jnp.asarray(COL.T.copy()))
+      jnp.asarray(COL), jnp.asarray(COL.T.copy()), *extra_inputs)
     return (sel.reshape(P_pad, N)[:P], count.reshape(P_pad, 1)[:P],
             u.reshape(P_pad, N)[:P], F.reshape(P_pad, 1)[:P])
 

@@ -53,6 +53,10 @@ class SubmapAlignParams:
     use_pallas: Optional[bool] = None
     pallas_pairs_per_step: int = 4
     per_pair_timing: bool = False  # chunk-timed dispatch for timing_list
+    # multi-restart homotopy (ClipperSolveParams.n_restarts): R perturbed
+    # starts per pair ride the same per-pair MXU matvec; best feasible
+    # omega wins. 1 = single-start (reference-equivalent trajectory).
+    solver_restarts: int = 1
 
     def __post_init__(self):
         if isinstance(self.submap_descriptor, str) and self.submap_descriptor.lower() == "none":
@@ -66,7 +70,10 @@ class SubmapAlignParams:
 
     def get_registration_config(self) -> RegistrationConfig:
         """Method factory (reference submap_align_params.py:86-150)."""
+        from roman_tpu.align.clipper import ClipperSolveParams
+
         return RegistrationConfig(
+            solver=ClipperSolveParams(n_restarts=self.solver_restarts),
             method=self.method,
             dim=self.dim,
             fusion=self.fusion_method,
