@@ -160,6 +160,9 @@ def main():
     ap.add_argument("--md", type=str, default=None,
                     help="write the markdown table here")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--restarts", type=int, default=1,
+                    help="engine ClipperSolveParams.n_restarts (the "
+                         "referee stays single-start by design)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -167,10 +170,12 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    from roman_tpu.align.clipper import ClipperSolveParams
     from roman_tpu.align.registration import RegistrationConfig
 
-    cfg = RegistrationConfig(method="roman", cos_min=0.5, cos_max=0.9,
-                             use_pallas=False)
+    cfg = RegistrationConfig(
+        method="roman", cos_min=0.5, cos_max=0.9, use_pallas=False,
+        solver=ClipperSolveParams(n_restarts=args.restarts))
     n_pos_total = args.pairs
     n_neg_total = max(args.pairs * 2 // 3, 4)
     seed_list = [args.seed + 1000 * s for s in range(max(args.seeds, 1))]
@@ -225,7 +230,9 @@ def main():
             "",
             f"Generated by `python adversarial_eval.py --pairs {args.pairs}"
             f" --seeds {args.seeds}"
-            + (" --cpu" if args.cpu else "") + f" --seed {args.seed}`.",
+            + (" --cpu" if args.cpu else "")
+            + (f" --restarts {args.restarts}" if args.restarts > 1 else "")
+            + f" --seed {args.seed}`.",
             "",
             "| Scenario | Engine P | Engine R | Referee P | Referee R |",
             "|---|---|---|---|---|",

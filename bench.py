@@ -433,10 +433,18 @@ def flops_per_pair(n, m, desc_dim, n_ratio, solver, refine_iters=6,
 
 
 def run_mapping_bench(n_frames=64, batch=16, obs_per_frame=24,
-                      pts_per_obs=128, desc_dim=64, seed=0, repeats=3):
+                      pts_per_obs=128, desc_dim=64, seed=0, repeats=3,
+                      with_agreement=False):
     """Mapping throughput: the device-resident BatchMapper over a synthetic
     observation stream, one dispatch per batch of frames (the reference hot
-    loop is mapper.py:47-142, one python update per frame)."""
+    loop is mapper.py:47-142, one python update per frame).
+
+    with_agreement additionally runs the HOST reference Mapper over the
+    same stream and returns a symmetric center-match agreement scalar
+    (fraction of each map's segments with a counterpart within 1 m in the
+    other, averaged) — a quality referee pinned to the speed metric so
+    mapper throughput can never improve by silently diverging from the
+    reference semantics. Returns fps or (fps, agreement)."""
     from roman_tpu.data.camera import CameraParams
     from roman_tpu.map.batch_mapper import BatchMapper
     from roman_tpu.params.mapper_params import MapperParams
@@ -494,7 +502,37 @@ def run_mapping_bench(n_frames=64, batch=16, obs_per_frame=24,
         feed()
         np.asarray(mapper.state.next_id)  # force
         dt = min(dt, time.perf_counter() - t0)
-    return n_frames / dt
+    fps = n_frames / dt
+    if not with_agreement:
+        return fps
+
+    # quality referee: one clean single-pass device map vs the host
+    # reference Mapper on the identical stream (tests pin the same
+    # comparison; this surfaces it next to the speed number)
+    from roman_tpu.map.mapper import Mapper
+    from roman_tpu.map.observation import Observation
+
+    dev2 = BatchMapper(params, CameraParams.simple(), desc_dim=desc_dim,
+                       obs_capacity=O)
+    host = Mapper(params, CameraParams.simple())
+    for f in range(n_frames):
+        obs = [Observation(time=float(times[f]), pose=poses[f],
+                           point_cloud=pts[f, k][val[f, k]],
+                           semantic_descriptor=desc[f, k])
+               for k in range(O) if mask[f, k]]
+        dev2.update(float(times[f]), poses[f], [o.copy(include_ptcld=True)
+                                                for o in obs])
+        host.update(float(times[f]), poses[f], obs)
+    dev_segs = dev2.get_roman_map().segments
+    host_segs = host.get_roman_map().segments
+    if not dev_segs or not host_segs:
+        return fps, 0.0
+    dc = np.stack([np.asarray(s.center) for s in dev_segs])
+    hc = np.stack([np.asarray(s.center) for s in host_segs])
+    d = np.linalg.norm(hc[:, None] - dc[None, :], axis=-1)
+    agreement = 0.5 * ((d.min(axis=1) < 1.0).mean()
+                       + (d.min(axis=0) < 1.0).mean())
+    return fps, float(agreement)
 
 
 def run_perception_bench(batch=8, height=480, width=640, repeats=3):
@@ -737,7 +775,9 @@ def main():
             feats[:2], auxs, runs, cfg, res, pair_i, pair_j,
             n_quality=args.quality_pairs))
     if not args.no_mapping:
-        record["mapping_frames_per_sec"] = round(run_mapping_bench(), 2)
+        map_fps, map_agree = run_mapping_bench(with_agreement=True)
+        record["mapping_frames_per_sec"] = round(map_fps, 2)
+        record["mapping_host_agreement"] = round(map_agree, 3)
     if not args.no_perception and not args.cpu:
         record["perception_frames_per_sec"] = round(run_perception_bench(), 2)
         try:  # reference-stack anchor (see run_perception_torch_anchor)

@@ -121,7 +121,9 @@ def _solve_kernel(M_ref, valid_ref, row_ref, col_ref, *rest,
     # Mosaic-safe pattern).
     N = validf.shape[-1]
     noise = noise_ref[...]                                      # (R, N)
-    a = jax.lax.broadcasted_iota(jnp.float32, (R, 1), 0) / R
+    # int iota + cast: Mosaic rejects tpu.iota with float result type
+    a = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).astype(
+        jnp.float32) / R
     row0f = jnp.where(a < 0.5 / R, jnp.ones((R, 1), jnp.float32), 0.0)
     umax = jnp.max(u, axis=-1, keepdims=True)                   # (1, 1)
     pert = (u * (1.0 - a) + umax * a * noise) * validf          # (R, N)

@@ -394,7 +394,9 @@ def _kernel(c1_ref, c1t_ref, r1_ref, r1t_ref, d1_ref, d1t_ref,
     # live at u[k*R:(k+1)*R] so the per-pair matvec stays one dot.
     if R > 1:
         noise = noise_ref[...]                                  # (R, N)
-        a = jax.lax.broadcasted_iota(jnp.float32, (R, 1), 0) / R
+        # int iota + cast: Mosaic rejects tpu.iota with float result type
+        a = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0).astype(
+            jnp.float32) / R
         row0f = jnp.where(a < 0.5 / R, jnp.ones((R, 1), jnp.float32), 0.0)
         urows, vrows_h = [], []
         for k in range(K):
