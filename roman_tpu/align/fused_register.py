@@ -737,8 +737,11 @@ def max_pairs_per_step(N: int, vmem_budget: int = 110 * 1024 * 1024) -> int:
     calibrated model is kept unchanged; the blocked build (which also
     charges one (N, N) bf16 solve-phase matvec value copy per pair)
     keeps K=3 at N=2304 (capacity 48) and K=1 at N=4096 (capacity 64)
-    where the unblocked build fell to K=1 / XLA fallback. Returns 0
-    when even K=1 overflows — callers should use the XLA engine.
+    where the unblocked build fell to K=1 / XLA fallback. Measured
+    on-chip artifacts for those configurations are committed under
+    docs/bench/ (round 5: cap40_r5.log 3706 pairs/s, cap48_r5.log 1378,
+    cap64_r5.log — each ~2x its XLA fallback). Returns 0 when even K=1
+    overflows — callers should use the XLA engine.
     """
     B = _build_block_rows(N)
     per = 2 * N * N  # one bf16 (N, N)
