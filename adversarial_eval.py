@@ -163,6 +163,10 @@ def main():
     ap.add_argument("--restarts", type=int, default=1,
                     help="engine ClipperSolveParams.n_restarts (the "
                          "referee stays single-start by design)")
+    ap.add_argument("--no-referee", action="store_true",
+                    help="skip the serial referee (engine-only rows; use "
+                         "when the referee columns of a prior run at the "
+                         "same --pairs/--seeds/--seed apply unchanged)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -198,9 +202,10 @@ def main():
             e_counts, e_T, _ = engine_solve(pads, cfg)
             tp, fp, fn = lc_counts(e_counts, e_T, problems, labels)
             etp += tp; efp += fp; efn += fn
-            b_counts, b_T = referee_solve(problems, cfg)
-            tp, fp, fn = lc_counts(b_counts, b_T, problems, labels)
-            btp += tp; bfp += fp; bfn += fn
+            if not args.no_referee:
+                b_counts, b_T = referee_solve(problems, cfg)
+                tp, fp, fn = lc_counts(b_counts, b_T, problems, labels)
+                btp += tp; bfp += fp; bfn += fn
         e_p, e_r, e_pci, e_rci = _pr_with_ci(etp, efp, efn)
         b_p, b_r, b_pci, b_rci = _pr_with_ci(btp, bfp, bfn)
         row = dict(scenario=name, pairs=int(n_pairs),
