@@ -42,6 +42,43 @@ from roman_tpu.rpgo.g2o_io import G2OEdge, G2OGraph, is_loop_closure
 from roman_tpu.utils import f32_matmuls
 
 
+def chi2_ppf_even_df(p: float, df: int) -> float:
+    """Inverse chi-square CDF for EVEN df (self-contained; no scipy).
+
+    Kimera-RPGO's CLI takes the PCM threshold as a chi2 confidence
+    probability (reference demo/demo.py:246-250 passes 0.9); our gate is
+    a raw chi2 value, so the CLI converts via this inverse CDF. 6-DoF
+    SE(3) residuals always give even df, where the CDF has the closed
+    form P(X<=x) = 1 - exp(-x/2) * sum_{k<df/2} (x/2)^k / k!; the
+    inverse is a bisection on that monotone form (pinned against
+    published chi2 quantile tables in tests/test_rpgo.py)."""
+    import math
+
+    if df % 2 != 0 or df <= 0:
+        raise ValueError(f"closed-form CDF needs even df > 0, got {df}")
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+
+    def cdf(x: float) -> float:
+        h = x / 2.0
+        term = s = 1.0
+        for k in range(1, df // 2):
+            term *= h / k
+            s += term
+        return 1.0 - math.exp(-h) * s
+
+    lo, hi = 0.0, float(df)
+    while cdf(hi) < p:
+        hi *= 2.0
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        if cdf(mid) < p:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
 @dataclasses.dataclass
 class RPGOSolverParams:
     # GNC-TLS anneals mu from barc2/(2*r2max - barc2); with large
@@ -521,6 +558,15 @@ if __name__ == "__main__":
     # scripts driving the reference backend can point here unchanged:
     #   python -m roman_tpu.rpgo.solver 3d in.g2o -1.0 -1.0 0.9 outdir v
     import argparse
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # deployments that pre-import jax with a pinned backend (e.g. a
+        # sitecustomize registering a remote TPU) make the env var alone
+        # too late — honor it explicitly before the first jax op. PGO
+        # graphs are a few hundred vertices, so JAX_PLATFORMS=cpu is the
+        # sensible setting for this standalone CLI.
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     ap = argparse.ArgumentParser()
     ap.add_argument("dim", choices=["3d", "2d"], help="pose dimension "
@@ -541,10 +587,8 @@ if __name__ == "__main__":
     if 0.0 < args.pcm_thresh < 1.0:
         # Kimera passes a chi2 confidence probability; our gate is a raw
         # chi2 value -> convert via the inverse CDF (6-DoF residual)
-        from scipy.stats import chi2 as _chi2
-
         p = dataclasses.replace(
-            p, pcm_thresh=float(_chi2.ppf(args.pcm_thresh, df=6)))
+            p, pcm_thresh=chi2_ppf_even_df(args.pcm_thresh, df=6))
     elif args.pcm_thresh >= 1.0:
         p = dataclasses.replace(p, pcm_thresh=float(args.pcm_thresh))
     rpgo_solve_g2o(args.input_g2o, args.output_dir, p)

@@ -354,3 +354,56 @@ def test_pcm_groups_opposite_direction_lcs():
     keep = pcm_gate(T_init, ii, jj, Tm, info, lc, thresh=25.0,
                     min_inter_clique=2)
     assert keep[lc].all(), "mutually consistent opposite-direction LCs dropped"
+
+
+def test_chi2_ppf_even_df_pinned_quantiles():
+    """The CLI's probability->chi2 conversion (solver.py __main__; mirrors
+    Kimera-RPGO's pcm_thresh arg, reference demo/demo.py:246-250) against
+    published chi2 quantile tables AND scipy (available here, but the
+    implementation must not depend on it)."""
+    from roman_tpu.rpgo.solver import chi2_ppf_even_df
+
+    # (p, df) -> chi2inv from standard tables
+    pinned = {
+        (0.90, 6): 10.6446,
+        (0.95, 6): 12.5916,
+        (0.99, 6): 16.8119,   # GTSAM GncOptimizer's default barcSq source
+        (0.90, 2): 4.6052,
+        (0.99, 12): 26.2170,
+    }
+    for (p, df), want in pinned.items():
+        got = chi2_ppf_even_df(p, df)
+        assert abs(got - want) < 5e-4, (p, df, got, want)
+
+    from scipy.stats import chi2 as scipy_chi2
+    for p in (0.5, 0.9, 0.99, 0.999):
+        for df in (2, 6, 12):
+            assert abs(chi2_ppf_even_df(p, df)
+                       - float(scipy_chi2.ppf(p, df))) < 1e-8
+
+    for bad in ((0.9, 5), (0.9, 0), (0.0, 6), (1.0, 6)):
+        with pytest.raises(ValueError):
+            chi2_ppf_even_df(*bad)
+
+
+def test_solver_cli_probability_threshold(tmp_path, rng):
+    """End-to-end CLI invocation with the reference's exact arg vector
+    shape (`3d <g2o> -1.0 -1.0 0.9 <outdir> v`): the 0.9 must be consumed
+    as a chi2 confidence probability (-> pcm_thresh 10.64), and a raw
+    threshold >= 1.0 must pass through unchanged."""
+    import subprocess
+    import sys
+
+    graph, gt = make_two_robot_graph(rng, n=20, n_lc=6)
+    g2o_path = tmp_path / "in.g2o"
+    g2o_io.write_g2o(graph, str(g2o_path))
+    out = subprocess.run(
+        [sys.executable, "-m", "roman_tpu.rpgo.solver", "3d",
+         str(g2o_path), "-1.0", "-1.0", "0.9", str(tmp_path), "v"],
+        capture_output=True, text=True,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        timeout=600)
+    assert out.returncode == 0, out.stderr
+    assert (tmp_path / "result.g2o").exists()
+    res = g2o_io.parse_g2o(str(tmp_path / "result.g2o"))
+    assert len(res.vertices) == len(graph.vertices)
