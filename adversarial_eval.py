@@ -207,16 +207,17 @@ def main():
                 tp, fp, fn = lc_counts(b_counts, b_T, problems, labels)
                 btp += tp; bfp += fp; bfn += fn
         e_p, e_r, e_pci, e_rci = _pr_with_ci(etp, efp, efn)
-        b_p, b_r, b_pci, b_rci = _pr_with_ci(btp, bfp, bfn)
         row = dict(scenario=name, pairs=int(n_pairs),
                    positives=int(etp + efn), seeds=len(seed_list),
                    engine_precision=round(e_p, 3), engine_recall=round(e_r, 3),
                    engine_p_ci=[round(x, 3) for x in e_pci],
-                   engine_r_ci=[round(x, 3) for x in e_rci],
-                   referee_precision=round(b_p, 3),
-                   referee_recall=round(b_r, 3),
-                   referee_p_ci=[round(x, 3) for x in b_pci],
-                   referee_r_ci=[round(x, 3) for x in b_rci])
+                   engine_r_ci=[round(x, 3) for x in e_rci])
+        if not args.no_referee:
+            b_p, b_r, b_pci, b_rci = _pr_with_ci(btp, bfp, bfn)
+            row.update(referee_precision=round(b_p, 3),
+                       referee_recall=round(b_r, 3),
+                       referee_p_ci=[round(x, 3) for x in b_pci],
+                       referee_r_ci=[round(x, 3) for x in b_rci])
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -247,12 +248,18 @@ def main():
             return f"{v} [{ci[0]:.3f}, {ci[1]:.3f}]"
 
         for r in rows:
+            # engine-only runs (--no-referee) must not render a fake
+            # referee column: a 0.0 there reads as a catastrophic
+            # referee failure, not "not measured"
+            ref_p = (_fmt(r["referee_precision"], r["referee_p_ci"])
+                     if "referee_precision" in r else "— (not run)")
+            ref_r = (_fmt(r["referee_recall"], r["referee_r_ci"])
+                     if "referee_recall" in r else "— (not run)")
             lines.append(
                 f"| {r['scenario']} |"
                 f" {_fmt(r['engine_precision'], r['engine_p_ci'])} |"
                 f" {_fmt(r['engine_recall'], r['engine_r_ci'])} |"
-                f" {_fmt(r['referee_precision'], r['referee_p_ci'])} |"
-                f" {_fmt(r['referee_recall'], r['referee_r_ci'])} |")
+                f" {ref_p} | {ref_r} |")
         lines += [
             "",
             "At drift_1.0m every remaining engine/referee disagreement was"

@@ -508,20 +508,27 @@ def run_mapping_bench(n_frames=64, batch=16, obs_per_frame=24,
 
     # quality referee: one clean single-pass device map vs the host
     # reference Mapper on the identical stream (tests pin the same
-    # comparison; this surfaces it next to the speed number)
+    # comparison; this surfaces it next to the speed number). The device
+    # side replays the stream through update_batch — the same batched
+    # entry point the timed path uses — so the referee scores the actual
+    # fast path AND costs batches, not per-frame tunnel dispatches
+    # (~1 s/transfer here makes 64 single-frame update() calls ~a minute
+    # of pure tunnel overhead).
     from roman_tpu.map.mapper import Mapper
     from roman_tpu.map.observation import Observation
 
     dev2 = BatchMapper(params, CameraParams.simple(), desc_dim=desc_dim,
                        obs_capacity=O)
     host = Mapper(params, CameraParams.simple())
+    for s in range(0, n_frames, batch):
+        e = min(s + batch, n_frames)
+        dev2.update_batch(times[s:e], poses[s:e], pts[s:e], val[s:e],
+                          desc[s:e], mask[s:e])
     for f in range(n_frames):
         obs = [Observation(time=float(times[f]), pose=poses[f],
                            point_cloud=pts[f, k][val[f, k]],
                            semantic_descriptor=desc[f, k])
                for k in range(O) if mask[f, k]]
-        dev2.update(float(times[f]), poses[f], [o.copy(include_ptcld=True)
-                                                for o in obs])
         host.update(float(times[f]), poses[f], obs)
     dev_segs = dev2.get_roman_map().segments
     host_segs = host.get_roman_map().segments

@@ -218,6 +218,17 @@ RESCUE_SOLVER = clipper_mod.ClipperSolveParams(
     warmup_iters=16, outer_iters=16, inner_iters=12)
 
 
+def rescue_solver(solver: clipper_mod.ClipperSolveParams
+                  ) -> clipper_mod.ClipperSolveParams:
+    """RESCUE_SOLVER's iteration budget, inheriting the exploration
+    knobs of the active solver. Rescue exists precisely for the pairs
+    where the homotopy localized in a bad basin, so a user-requested
+    n_restarts must keep applying there — a fixed single-start rescue
+    would silently disable the knob on exactly the hard pairs it was
+    turned on for."""
+    return dataclasses.replace(RESCUE_SOLVER, n_restarts=solver.n_restarts)
+
+
 def _homotopy_converged(u: jax.Array,
                         solver: clipper_mod.ClipperSolveParams) -> jax.Array:
     """True where the projected-power-iteration homotopy finished: no
@@ -242,7 +253,8 @@ def register_clipper_rescued(f1: SubmapFeatures, f2: SubmapFeatures,
     bad = np.flatnonzero(~conv)
     if bad.size == 0:
         return res
-    rcfg = dataclasses.replace(cfg, solver=RESCUE_SOLVER, use_pallas=False)
+    rcfg = dataclasses.replace(cfg, solver=rescue_solver(cfg.solver),
+                               use_pallas=False)
     take = lambda x: None if x is None else x[jnp.asarray(bad)]
     res2 = register_clipper(jax.tree.map(take, f1), jax.tree.map(take, f2),
                             rcfg)

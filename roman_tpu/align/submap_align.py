@@ -144,8 +144,9 @@ class PairGridRegistrar:
         if self._rescue is None:
             import dataclasses
 
-            rcfg = dataclasses.replace(self.cfg, solver=reg.RESCUE_SOLVER,
-                                       use_pallas=False)
+            rcfg = dataclasses.replace(
+                self.cfg, solver=reg.rescue_solver(self.cfg.solver),
+                use_pallas=False)
             self._rescue = PairGridRegistrar(
                 rcfg, self.single_robot_lc,
                 chunk_size=min(self.chunk_size, 16), _is_rescue=True)
@@ -264,7 +265,8 @@ class PairGridRegistrar:
             if self._inprog_rescue():
                 import dataclasses
 
-                rcfg = dataclasses.replace(self.cfg, solver=reg.RESCUE_SOLVER)
+                rcfg = dataclasses.replace(
+                    self.cfg, solver=reg.rescue_solver(self.cfg.solver))
                 rescue_fn = self._registration_fn(rcfg)
             if self.mesh is not None:
                 # explicit SPMD: each device registers its shard of the

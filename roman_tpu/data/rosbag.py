@@ -975,37 +975,67 @@ def read_static_transform(path: str, parent: str, child: str,
     align_pointcloud.py:43-57). Like robotdatapy, the lookup CHAINS
     through the TF tree: if no direct (parent, child) edge exists, the
     shortest path of static edges is composed (edges may be traversed
-    against their published direction, inverting). With
-    include_non_static, /tf edges participate too, each at its first
-    published value (for extrinsics published on /tf that are
-    'theoretically static')."""
+    against their published direction, inverting).
+
+    /tf_static edges ALWAYS take priority (a dynamic /tf republish of
+    the same frame pair, e.g. an identity published before calibration
+    loads, must not shadow the latched static value). /tf edges — each
+    at its first published value, for extrinsics that are
+    'theoretically static' — are admitted when include_non_static is
+    set, or as a fallback when the static graph alone does not connect
+    the two frames (so a bag carrying its extrinsics on /tf resolves
+    whether or not an unrelated /tf_static topic exists). High-rate
+    /tf scans stop as soon as parent and child are connected."""
     from roman_tpu.ops import se3_np
 
     reader = open_reader(path)
-    topics = [t for t in (("/tf_static", "/tf") if include_non_static
-                          else ("/tf_static",)) if t in reader.topics]
-    if not topics and "/tf" in reader.topics:
-        topics = ["/tf"]  # bags that only publish static frames on /tf
-    if not topics:
-        raise KeyError(f"no /tf_static or /tf in bag (have "
-                       f"{sorted(reader.topics)})")
-    # edge map (parent, child) -> first-seen T, frames normalized
-    edges: Dict[Tuple[str, str], np.ndarray] = {}
-    adj: Dict[str, list] = {}
-    for _, msg, _ in reader.read_messages(topics):
-        for tr in msg["transforms"]:
-            a = tr["header"]["frame_id"].lstrip("/")
-            b = tr["child_frame_id"].lstrip("/")
-            if (a, b) in edges:
-                continue
-            edges[(a, b)] = se3_np.xyz_quat_to_T(
-                np.array(tr["transform"]["translation"], np.float64),
-                np.array(tr["transform"]["rotation"], np.float64))
-            adj.setdefault(a, []).append(b)
-            adj.setdefault(b, []).append(a)
     src, dst = parent.lstrip("/"), child.lstrip("/")
     if src == dst:
         return np.eye(4)
+    # edge map (parent, child) -> first-seen T, frames normalized;
+    # /tf_static is scanned fully first so its edges always win the
+    # first-seen dedup against /tf republishes of the same pair.
+    edges: Dict[Tuple[str, str], np.ndarray] = {}
+    adj: Dict[str, list] = {}
+    uf: Dict[str, str] = {}
+
+    def find(x: str) -> str:
+        uf.setdefault(x, x)
+        while uf[x] != x:
+            uf[x] = uf[uf[x]]
+            x = uf[x]
+        return x
+
+    def scan(topic: str, early_exit: bool) -> None:
+        for _, msg, _ in reader.read_messages([topic]):
+            for tr in msg["transforms"]:
+                a = tr["header"]["frame_id"].lstrip("/")
+                b = tr["child_frame_id"].lstrip("/")
+                if (a, b) in edges:
+                    continue
+                edges[(a, b)] = se3_np.xyz_quat_to_T(
+                    np.array(tr["transform"]["translation"], np.float64),
+                    np.array(tr["transform"]["rotation"], np.float64))
+                adj.setdefault(a, []).append(b)
+                adj.setdefault(b, []).append(a)
+                uf[find(a)] = find(b)
+            # a 100-400 Hz /tf stream over a long session is hundreds of
+            # thousands of CDR decodes — stop once a path exists (any
+            # static path is exact; BFS below just picks the shortest of
+            # what was seen)
+            if early_exit and find(src) == find(dst):
+                return
+
+    have_static = "/tf_static" in reader.topics
+    have_tf = "/tf" in reader.topics
+    if not have_static and not have_tf:
+        raise KeyError(f"no /tf_static or /tf in bag (have "
+                       f"{sorted(reader.topics)})")
+    if have_static:
+        scan("/tf_static", early_exit=False)  # latched + tiny: read all
+    connected = find(src) == find(dst)
+    if have_tf and (include_non_static or not connected):
+        scan("/tf", early_exit=True)
     # BFS for the shortest frame path, then compose along it
     prev: Dict[str, str] = {src: src}
     queue = [src]

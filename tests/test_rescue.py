@@ -219,3 +219,28 @@ def test_registrar_inprogram_rescue_overflow_falls_back(cfg, monkeypatch):
                                   np.asarray(rescue_direct.count))
     np.testing.assert_array_equal(np.asarray(res.sel),
                                   np.asarray(rescue_direct.sel))
+
+
+def test_rescue_inherits_restarts(cfg):
+    """rescue_solver keeps RESCUE_SOLVER's iteration budget but inherits
+    the caller's n_restarts — a fixed single-start rescue would silently
+    disable SubmapAlignParams.solver_restarts on exactly the unconverged
+    hard pairs the knob targets."""
+    import dataclasses as dc
+
+    from roman_tpu.align.clipper import ClipperSolveParams
+    from roman_tpu.align.registration import rescue_solver
+
+    for r in (1, 4, 8):
+        got = rescue_solver(ClipperSolveParams(n_restarts=r))
+        assert got.n_restarts == r
+        assert (got.warmup_iters, got.outer_iters, got.inner_iters) == (
+            RESCUE_SOLVER.warmup_iters, RESCUE_SOLVER.outer_iters,
+            RESCUE_SOLVER.inner_iters)
+
+    # the registrar's rescue config carries the knob through
+    from roman_tpu.align.submap_align import PairGridRegistrar
+
+    rcfg = dc.replace(cfg, solver=dc.replace(cfg.solver, n_restarts=4))
+    registrar = PairGridRegistrar(rcfg, single_robot_lc=False)
+    assert registrar._rescue_registrar().cfg.solver.n_restarts == 4

@@ -519,3 +519,67 @@ def test_static_transform_chained_and_tf_input_type(tmp_path):
     T2 = find_transformation({"input_type": "tf", "path": bag,
                               "parent": "base", "child": "lidar"})
     np.testing.assert_allclose(T2, T_base_imu @ T_imu_lidar, atol=1e-9)
+
+
+def test_static_transform_priority_and_tf_fallback(tmp_path):
+    """/tf_static edges must win over /tf republishes of the same frame
+    pair (a driver publishing identity on /tf before calibration loads
+    must not shadow the latched static value), and a bag whose extrinsic
+    lives only on /tf must resolve even when an UNRELATED /tf_static
+    topic exists (fallback when the static graph lacks a path)."""
+    from roman_tpu.ops import se3_np
+
+    def tf_msg(parent, child, T):
+        t, q = se3_np.T_to_xyz_quat(T)
+        return {"transforms": [{
+            "header": {"stamp": 0.0, "frame_id": parent},
+            "child_frame_id": child,
+            "transform": {"translation": t, "rotation": q}}]}
+
+    T_true = se3_np.xyz_quat_to_T(np.array([1.0, 2.0, 3.0]),
+                                  np.array([0.0, 0.0, 0.0, 1.0]))
+    T_other = se3_np.xyz_quat_to_T(np.array([9.0, 9.0, 9.0]),
+                                   np.array([0.0, 0.0, 0.0, 1.0]))
+
+    # (a) same edge on both topics, /tf FIRST in time: static still wins
+    bag = str(tmp_path / "shadow.bag")
+    with rosbag.BagWriter(bag) as w:
+        w.write("/tf", "tf2_msgs/TFMessage",
+                tf_msg("base", "camera", np.eye(4)), 0.0)
+        w.write("/tf_static", "tf2_msgs/TFMessage",
+                tf_msg("base", "camera", T_true), 5.0)
+    got = rosbag.read_static_transform(bag, "base", "camera",
+                                       include_non_static=True)
+    np.testing.assert_allclose(got, T_true, atol=1e-9)
+
+    # (b) extrinsic only on /tf; /tf_static holds an unrelated edge —
+    # the lookup falls back to /tf edges (static graph lacks the path)
+    bag2 = str(tmp_path / "fallback.bag")
+    with rosbag.BagWriter(bag2) as w:
+        w.write("/tf_static", "tf2_msgs/TFMessage",
+                tf_msg("map", "odom", T_other), 0.0)
+        w.write("/tf", "tf2_msgs/TFMessage",
+                tf_msg("base", "camera", T_true), 0.0)
+        # a later republish that must NOT override first-seen
+        w.write("/tf", "tf2_msgs/TFMessage",
+                tf_msg("base", "camera", T_other), 1.0)
+    got2 = rosbag.read_static_transform(bag2, "base", "camera")
+    np.testing.assert_allclose(got2, T_true, atol=1e-9)
+
+    # (c) chaining across the static/dynamic boundary: odom->base on
+    # /tf composes with the static base->camera edge. The /tf fallback
+    # applies even without include_non_static when the static graph
+    # alone lacks a path (permissive, and consistent whether or not a
+    # /tf_static topic happens to exist); frames in neither topic raise.
+    bag3 = str(tmp_path / "chain.bag")
+    with rosbag.BagWriter(bag3) as w:
+        w.write("/tf_static", "tf2_msgs/TFMessage",
+                tf_msg("base", "camera", T_true), 0.0)
+        w.write("/tf", "tf2_msgs/TFMessage",
+                tf_msg("odom", "base", T_other), 0.0)
+    for non_static in (False, True):
+        got3 = rosbag.read_static_transform(bag3, "odom", "camera",
+                                            include_non_static=non_static)
+        np.testing.assert_allclose(got3, T_other @ T_true, atol=1e-9)
+    with pytest.raises(KeyError):
+        rosbag.read_static_transform(bag3, "odom", "wheel")
