@@ -230,20 +230,29 @@ class SubmapAlignEvaluator:
                 for k, v in buckets.items()}
 
     def evaluate_precision_recall(self, min_assoc: Optional[int] = None) -> PR:
-        """TP = nearby AND predicted AND pose-correct (reference :233-288)."""
+        """Reference-exact PR (reference evaluate.py:233-288):
+        TP = nearby AND predicted AND pose-correct; FP = predicted AND
+        pose-INCORRECT (a nearby pair registered to the wrong transform
+        is an FP even though it overlaps); recall denominator =
+        num_relevant = ALL nearby pairs, so a nearby pair that was
+        predicted-but-wrong still counts against recall — tp/(tp+fn)
+        with fn only for unpredicted positives would inflate recall to
+        1.0 on a grid where every nearby pair is predicted but half are
+        misregistered."""
         thr = self.params.min_assoc if min_assoc is None else min_assoc
-        tp = fp = fn = 0
+        tp = fp = num_relevant = 0
         for row in self._collect():
             predicted = (not np.isnan(row["n_assoc"])) and row["n_assoc"] >= thr
             positive = row["nearby"]
-            if predicted and positive and self._correct(row):
+            correct = self._correct(row)
+            num_relevant += positive
+            if predicted and positive and correct:
                 tp += 1
-            elif predicted:
+            elif predicted and not correct:
                 fp += 1
-            elif positive:
-                fn += 1
+        fn = num_relevant - tp
         precision = tp / max(tp + fp, 1)
-        recall = tp / max(tp + fn, 1)
+        recall = tp / max(num_relevant, 1)
         return PR(precision, recall, tp, fp, fn)
 
     def evaluate_precision_recall_sweep(self, max_thresh: int = 40) -> PRSweep:

@@ -241,6 +241,23 @@ def _homotopy_converged(u: jax.Array,
     return ~jnp.any(viol, axis=(-2, -1))
 
 
+def splice_rescued(res: RegistrationResult, res2: RegistrationResult,
+                   bad: np.ndarray) -> RegistrationResult:
+    """Overwrite rows `bad` of `res` with the re-solved `res2` (leafwise;
+    None leaves pass through). The ONE rescue-splice rule, shared by the
+    eager path below and PairGridRegistrar._apply_rescue — rescue policy
+    edits must not be able to land in only one of them."""
+
+    def splice(a, b):
+        if a is None or b is None:
+            return a
+        out = np.asarray(a).copy()
+        out[bad] = np.asarray(b)
+        return out
+
+    return jax.tree.map(splice, res, res2)
+
+
 def register_clipper_rescued(f1: SubmapFeatures, f2: SubmapFeatures,
                              cfg: RegistrationConfig) -> RegistrationResult:
     """Eager (host-level) register_clipper + rescue: pairs whose homotopy
@@ -258,15 +275,7 @@ def register_clipper_rescued(f1: SubmapFeatures, f2: SubmapFeatures,
     take = lambda x: None if x is None else x[jnp.asarray(bad)]
     res2 = register_clipper(jax.tree.map(take, f1), jax.tree.map(take, f2),
                             rcfg)
-
-    def splice(a, b):
-        if a is None or b is None:
-            return a
-        out = np.asarray(a).copy()
-        out[bad] = np.asarray(b)
-        return out
-
-    return jax.tree.map(splice, res, res2)
+    return splice_rescued(res, res2, bad)
 
 
 def register_clipper(f1: SubmapFeatures, f2: SubmapFeatures, cfg: RegistrationConfig,

@@ -174,15 +174,7 @@ class PairGridRegistrar:
         r2 = self._rescue_registrar()(
             feats1, feats2, ids1_all, ids2_all,
             np.asarray(pair_i)[bad], np.asarray(pair_j)[bad], seed=seed)
-
-        def splice(a, b):
-            if a is None or b is None:
-                return a
-            out = np.asarray(a).copy()
-            out[bad] = np.asarray(b)
-            return out
-
-        return jax.tree.map(splice, res, r2)
+        return reg.splice_rescued(res, r2, bad)
 
     def _registration_fn(self, cfg=None):
         def fn(feats1, feats2, ids1_all, ids2_all, idx_i, idx_j, key):

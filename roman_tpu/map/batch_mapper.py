@@ -75,6 +75,13 @@ class MapState:
     first_seen: jax.Array      # (S,)
     last_seen: jax.Array       # (S,)
     seg_id: jax.Array          # (S,) int32 (-1 empty)
+    # robot position at each segment's LAST observation: the reference's
+    # inactive->graveyard distance rule compares the current robot pose
+    # against seg.last_observation.pose (mapper.py:113-123), NOT against
+    # the segment's center — a segment observed from afar must retire
+    # when the robot has MOVED segment_graveyard_dist since last seeing
+    # it, even if the robot is still near the segment itself
+    last_obs_pos: jax.Array    # (S, 3)
     next_id: jax.Array         # () int32
     # cached sorted-unique voxel keys at the association voxel size
     # (ops.voxel.sorted_unique_keys of the row's points): association and
@@ -97,6 +104,7 @@ def init_state(capacity: int, points_per_seg: int, desc_dim: int) -> MapState:
         first_seen=jnp.zeros((S,), jnp.float32),
         last_seen=jnp.full((S,), -1e9, jnp.float32),
         seg_id=jnp.full((S,), -1, jnp.int32),
+        last_obs_pos=jnp.zeros((S, 3), jnp.float32),
         next_id=jnp.zeros((), jnp.int32),
         vox_keys=jnp.full((S, P), _INVALID, jnp.int32),
         vox_n=jnp.zeros((S,), jnp.int32),
@@ -250,6 +258,8 @@ class BatchMapper:
 
             num_sightings = state.num_sightings + touched.astype(jnp.int32)
             last_seen = jnp.where(touched, t, state.last_seen)
+            last_obs_pos = jnp.where(touched[:, None], robot_pos[None, :],
+                                     state.last_obs_pos)
 
             # ---- lifecycle (reference mapper.py:93-127) ----
             status = state.status
@@ -261,12 +271,12 @@ class BatchMapper:
             status = jnp.where((status == ACTIVE) & stale, INACTIVE, status)
             status = jnp.where((status == NURSERY) & stale, EMPTY, status)
             # inactive -> graveyard when too old or the robot moved away
-            # (segment_graveyard_time / _dist, reference mapper.py:113-123)
-            n_pts = jnp.maximum(jnp.sum(points_valid, axis=-1), 1)
-            centers = (jnp.sum(jnp.where(points_valid[..., None], points, 0.0),
-                               axis=-2) / n_pts[..., None])
+            # (segment_graveyard_time / _dist, reference mapper.py:113-123:
+            # the distance is current robot pose vs the robot pose at the
+            # segment's LAST OBSERVATION — not vs the segment center)
             far = jnp.linalg.norm(
-                centers - robot_pos[None, :], axis=-1) > p.segment_graveyard_dist
+                last_obs_pos - robot_pos[None, :],
+                axis=-1) > p.segment_graveyard_dist
             old = t - last_seen > p.segment_graveyard_time
             status = jnp.where((status == INACTIVE) & (far | old),
                                GRAVEYARD, status)
@@ -308,6 +318,8 @@ class BatchMapper:
             num_sightings = place(num_sightings, jnp.ones((O,), jnp.int32))
             first_seen = place(state.first_seen, jnp.full((O,), t, jnp.float32))
             last_seen = place(last_seen, jnp.full((O,), t, jnp.float32))
+            last_obs_pos = place(last_obs_pos,
+                                 jnp.broadcast_to(robot_pos, (O, 3)))
             n_new = jnp.sum(can_place.astype(jnp.int32))
             new_ids = state.next_id + jnp.cumsum(can_place.astype(jnp.int32)) - 1
             seg_id = state.seg_id.at[tgt].set(
@@ -335,8 +347,8 @@ class BatchMapper:
 
             def merge_once(carry):
                 (points, points_valid, desc, desc_count, num_sightings,
-                 first_seen, last_seen, seg_id, status, vox_keys, vox_n,
-                 dirty, n_merges) = carry
+                 first_seen, last_seen, last_obs_pos, seg_id, status,
+                 vox_keys, vox_n, dirty, n_merges) = carry
                 activeish = (status == NURSERY) | (status == ACTIVE)
                 track3 = activeish | (status == INACTIVE)
                 # dirty rows first (stable sort keeps this deterministic)
@@ -399,6 +411,13 @@ class BatchMapper:
                     jnp.where(do_merge, num_sightings[b], 0))
                 first_seen = first_seen.at[a].min(
                     jnp.where(do_merge, first_seen[b], jnp.inf))
+                # the merged track's last observation is whichever side
+                # was seen later (host parity: update_from_segment keeps
+                # the later last_observation)
+                use_b = last_seen[b] > last_seen[a]
+                last_obs_pos = last_obs_pos.at[a].set(
+                    jnp.where(do_merge & use_b, last_obs_pos[b],
+                              last_obs_pos[a]))
                 last_seen = last_seen.at[a].max(
                     jnp.where(do_merge, last_seen[b], -jnp.inf))
                 seg_id = seg_id.at[a].set(
@@ -419,24 +438,25 @@ class BatchMapper:
                 dirty = dirty.at[b].set(jnp.where(do_merge, False, dirty[b]))
                 n_merges = jnp.where(do_merge, n_merges + 1, -1)
                 return (points, points_valid, desc, desc_count,
-                        num_sightings, first_seen, last_seen, seg_id,
-                        status, vox_keys, vox_n, dirty, n_merges)
+                        num_sightings, first_seen, last_seen, last_obs_pos,
+                        seg_id, status, vox_keys, vox_n, dirty, n_merges)
 
             max_merges = p.max_merges_per_frame
             carry = (points, points_valid, desc, desc_count, num_sightings,
-                     first_seen, last_seen, seg_id, status, vox_keys, vox_n,
-                     dirty0, jnp.zeros((), jnp.int32))
+                     first_seen, last_seen, last_obs_pos, seg_id, status,
+                     vox_keys, vox_n, dirty0, jnp.zeros((), jnp.int32))
             carry = jax.lax.while_loop(
                 lambda c: (c[-1] >= 0) & (c[-1] < max_merges),
                 merge_once, carry)
             (points, points_valid, desc, desc_count, num_sightings,
-             first_seen, last_seen, seg_id, status, vox_keys, vox_n,
-             _, _) = carry
+             first_seen, last_seen, last_obs_pos, seg_id, status, vox_keys,
+             vox_n, _, _) = carry
 
             return MapState(
                 points=points, points_valid=points_valid, descriptors=desc,
                 desc_count=desc_count, status=status, num_sightings=num_sightings,
                 first_seen=first_seen, last_seen=last_seen, seg_id=seg_id,
+                last_obs_pos=last_obs_pos,
                 next_id=state.next_id + n_new,
                 vox_keys=vox_keys, vox_n=vox_n,
             )
@@ -496,10 +516,15 @@ class BatchMapper:
         if frame_descriptors is not None:
             self.frame_descriptors += [np.asarray(f) for f in frame_descriptors]
         D = descriptors.shape[-1]
+        if D > self.desc_dim:
+            # widen the pool instead of silently truncating — cutting
+            # 768-d CLIP embeddings to a small placeholder width makes
+            # semantic cosine scores meaningless (ensure_desc_dim
+            # docstring names this exact failure)
+            self.ensure_desc_dim(D)
         if D != self.desc_dim:
             fixed = np.zeros(descriptors.shape[:-1] + (self.desc_dim,), np.float32)
-            d = min(D, self.desc_dim)
-            fixed[..., :d] = np.asarray(descriptors)[..., :d]
+            fixed[..., :D] = np.asarray(descriptors)
             descriptors = fixed
         fn = self._get_scan_step((B,) + tuple(np.shape(points)[1:3]))
         self.state = fn(
@@ -508,6 +533,25 @@ class BatchMapper:
             jnp.asarray(points, jnp.float32), jnp.asarray(points_valid),
             jnp.asarray(descriptors, jnp.float32), jnp.asarray(obs_mask))
         self.maybe_spill()
+
+    def _fit_points(self, pts: np.ndarray) -> np.ndarray:
+        """Reduce an observation's cloud to <= max_points_per_segment
+        without spatial bias. pts arrive in mask-pixel order, so keeping
+        the FIRST Q would keep the top image rows of a large segment and
+        skew its center/extent/voxel keys vs the host mapper (whose
+        Segment creation voxel-downsamples the full cloud,
+        segment.py _cleanup_points). Voxel-downsample first (host-parity
+        density normalization); if the footprint still exceeds Q, take
+        an even stride across the remaining points."""
+        Q = self.params.max_points_per_segment
+        if len(pts) <= Q:
+            return pts
+        from roman_tpu.ops.voxel import voxel_downsample_np
+
+        down = voxel_downsample_np(pts, self.params.segment_voxel_size)
+        if len(down) > Q:
+            down = down[np.linspace(0, len(down) - 1, Q).astype(int)]
+        return down.astype(np.float32)
 
     def pack_observations(self, observations):
         """Pack an Observation list into padded arrays (camera frame)."""
@@ -518,7 +562,7 @@ class BatchMapper:
         obs_desc = np.zeros((O, self.desc_dim), np.float32)
         obs_mask = np.zeros((O,), bool)
         for k, obs in enumerate(observations[:O]):
-            pts = np.asarray(obs.point_cloud)
+            pts = self._fit_points(np.asarray(obs.point_cloud))
             n = min(len(pts), Q)
             obs_pts[k, :n] = pts[:n]
             obs_val[k, :n] = True
@@ -543,7 +587,7 @@ class BatchMapper:
         obs_desc = np.zeros((O, self.desc_dim), np.float32)
         obs_mask = np.zeros((O,), bool)
         for k, obs in enumerate(observations[:O]):
-            pts = obs.transformed_points
+            pts = self._fit_points(np.asarray(obs.transformed_points))
             n = min(len(pts), Q)
             obs_pts[k, :n] = pts[:n]
             obs_val[k, :n] = True

@@ -114,12 +114,16 @@ class Mapper:
         self.times_history.append(t)
         if frame_descriptor is not None:
             self.frame_descriptors_history.append(frame_descriptor)
-        if len(observations) == 0:
-            return
+        # NOTE: no early return on an empty frame — the reference runs
+        # the full lifecycle (active->inactive->graveyard, nursery
+        # pruning/promotion) every update regardless of observation
+        # count (mapper.py:60-127), so tracks keep aging and retiring
+        # while the robot traverses featureless stretches.
         self.last_pose = pose.copy()
 
         pool = self.segments + self.segment_nursery
-        pairs = self._gnn_associate(pool, observations)
+        pairs = (self._gnn_associate(pool, observations)
+                 if observations else [])
         n_seg = len(self.segments)
         for seg_idx, obs_idx in pairs:
             if seg_idx < n_seg:

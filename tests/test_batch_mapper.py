@@ -295,14 +295,22 @@ def test_retired_spill_prevents_pool_exhaustion(rng):
     empty)."""
     params = MapperParams(min_sightings=1, max_t_no_sightings=0.3,
                           geometric_score_range=(0.15, 1.0),
+                          # retirement follows the reference rule (robot
+                          # pose at last observation vs current pose —
+                          # mapper.py:113-123), so at 3 m/frame a 6 m
+                          # graveyard radius retires a lost track ~2
+                          # frames after it goes inactive, keeping pool
+                          # turnover prompt for the spill under test
+                          segment_graveyard_dist=6.0,
                           max_segments=24, max_points_per_segment=32)
     m = BatchMapper(params, CameraParams.simple(), desc_dim=4, obs_capacity=8)
     m.spill_check_every = 2
     n_frames, per_frame = 20, 6
     for f in range(n_frames):
         t = f * 0.2
-        # moving robot: old objects fall > segment_graveyard_dist behind
-        # and graveyard (then spill); fresh objects appear every frame
+        # moving robot: the robot moves > segment_graveyard_dist past the
+        # last-observation pose and the track graveyards (then spills);
+        # fresh objects appear every frame
         pose = yaw_T(0.0, np.array([3.0 * f, 0.0, 0.0]))
         obs = [make_obs(rng, np.array([3.0 * f, 4.0 * k, 1.0]), pose, t,
                         n=20, scale=0.1) for k in range(per_frame)]
@@ -344,3 +352,64 @@ def test_ensure_desc_dim_widens_pool():
     # stored descriptor has energy beyond the first 8 dims
     desc = np.asarray(bm.state.descriptors)
     assert np.abs(desc[..., 8:]).sum() > 0.0
+
+
+def test_graveyard_uses_last_observation_pose(rng):
+    """The inactive->graveyard distance rule compares the CURRENT robot
+    pose against the robot pose at the segment's LAST OBSERVATION
+    (reference mapper.py:113-123) — not against the segment center. A
+    segment observed from afar must retire once the robot has moved
+    segment_graveyard_dist since last seeing it, even while the robot is
+    still closer than that to the segment itself; host Mapper agrees."""
+    from roman_tpu.map.mapper import Mapper
+
+    params = MapperParams(min_sightings=1, max_t_no_sightings=0.3,
+                          segment_graveyard_dist=10.0,
+                          segment_graveyard_time=1e9,
+                          geometric_score_range=(0.1, 1.0),
+                          max_segments=16, max_points_per_segment=64)
+    dev = BatchMapper(params, CameraParams.simple(), desc_dim=4,
+                      obs_capacity=4)
+    host = Mapper(params, CameraParams.simple())
+    center = np.array([15.0, 0.0, 1.0])   # 15 m ahead at first sight
+    t = 0.0
+    for f in range(8):
+        # robot advances 1.6 m/frame: after ~7 frames it has moved
+        # ~11 m > graveyard_dist from the observation pose, yet is only
+        # ~4 m from the segment center (center rule would keep it)
+        pose = yaw_T(0.0, np.array([1.6 * f, 0.0, 0.0]))
+        obs = ([make_obs(rng, center, pose, t, n=40, scale=0.1)]
+               if f == 0 else [])
+        dev.update(t, pose, obs)
+        host.update(t, pose, [o.copy(include_ptcld=True) for o in obs])
+        t += 0.2
+    from roman_tpu.map.batch_mapper import GRAVEYARD
+
+    status = np.asarray(dev.state.status)
+    seg_rows = np.flatnonzero(np.asarray(dev.state.seg_id) >= 0)
+    assert len(seg_rows) == 1
+    assert status[seg_rows[0]] == GRAVEYARD
+    assert len(host.segment_graveyard) == 1 and not host.inactive_segments
+
+
+def test_oversized_observation_downsampled_not_truncated(rng):
+    """An observation with more points than max_points_per_segment must
+    be reduced by voxel-downsample + even stride, not by keeping the
+    first Q points (mask-pixel order = top image rows = a spatially
+    biased footprint that skews center/extent vs the host mapper)."""
+    params = MapperParams(min_sightings=1, max_t_no_sightings=5.0,
+                          geometric_score_range=(0.15, 1.0),
+                          segment_voxel_size=0.05,
+                          max_segments=8, max_points_per_segment=32)
+    m = BatchMapper(params, CameraParams.simple(), desc_dim=4, obs_capacity=4)
+    pose = np.eye(4)
+    # 1.2k points along a 10 m bar: first-32 would cover only the first
+    # ~0.25 m of it and report a center near the bar's start
+    bar = np.stack([np.linspace(0.0, 10.0, 1200),
+                    np.zeros(1200), np.ones(1200)], axis=1)
+    obs = Observation(time=0.0, pose=pose, point_cloud=bar)
+    m.update(0.0, pose, [obs])
+    seg = m.get_roman_map().segments[0]
+    c = np.asarray(seg.center).reshape(3)
+    assert abs(c[0] - 5.0) < 1.0, c       # mid-bar, not the biased ~0.1
+    assert np.asarray(seg.extent).max() > 8.0  # spans the whole bar

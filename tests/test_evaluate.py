@@ -99,3 +99,31 @@ def test_frustum_filter_prunes_nearby():
     nearby_after = ev.results[0].robots_nearby_mat
     assert not np.isnan(nearby_after[0, 0])
     assert np.isnan(nearby_after[0, 1])
+
+
+def test_precision_recall_reference_denominator():
+    """Reference-exact recall (reference evaluate.py:250,284-286):
+    num_relevant = ALL nearby pairs, so a nearby pair that was predicted
+    but misregistered is an FP for precision AND a miss for recall —
+    counting it only as FP (tp/(tp+fn) with fn = unpredicted positives)
+    would report recall 1.0 on a grid where half the overlapping pairs
+    landed on the wrong transform."""
+    # 4 nearby pairs, all predicted (counts >= thr): 2 correct, 2 with a
+    # blown angle error; plus one far pair predicted-and-wrong (classic FP)
+    nearby = [[1.0, 1.0, 1.0, 1.0, np.nan]]
+    counts = [[8.0, 8.0, 8.0, 8.0, 8.0]]
+    angle = [[1.0, 1.0, 60.0, 60.0, 60.0]]
+    dist = [[0.1, 0.1, 0.1, 0.1, 0.1]]
+    res = _results(1, 5, nearby, counts, angle=angle, dist=dist)
+    ev = SubmapAlignEvaluator([res], EvalParams())
+    pr = ev.evaluate_precision_recall(min_assoc=4)
+    assert pr.tp == 2 and pr.fp == 3
+    assert pr.recall == 2 / 4          # NOT 2/2
+    assert pr.precision == 2 / 5
+    # a far pair registered "correctly" is neither TP nor FP (reference
+    # false_positives = is_positive & ~correct)
+    angle2 = [[1.0, 1.0, 60.0, 60.0, 1.0]]
+    res2 = _results(1, 5, nearby, counts, angle=angle2, dist=dist)
+    ev2 = SubmapAlignEvaluator([res2], EvalParams())
+    pr2 = ev2.evaluate_precision_recall(min_assoc=4)
+    assert pr2.tp == 2 and pr2.fp == 2 and pr2.recall == 0.5
