@@ -977,15 +977,18 @@ def read_static_transform(path: str, parent: str, child: str,
     shortest path of static edges is composed (edges may be traversed
     against their published direction, inverting).
 
-    /tf_static edges ALWAYS take priority (a dynamic /tf republish of
-    the same frame pair, e.g. an identity published before calibration
-    loads, must not shadow the latched static value). /tf edges — each
-    at its first published value, for extrinsics that are
-    'theoretically static' — are admitted when include_non_static is
-    set, or as a fallback when the static graph alone does not connect
-    the two frames (so a bag carrying its extrinsics on /tf resolves
-    whether or not an unrelated /tf_static topic exists). High-rate
-    /tf scans stop as soon as parent and child are connected."""
+    /tf_static edges ALWAYS take priority, both per edge (first-seen
+    dedup ordered static-first, so a dynamic /tf republish of the same
+    frame pair — e.g. an identity published before calibration loads —
+    cannot shadow the latched static value) and per PATH (the search
+    minimizes dynamic-edge count before hop count, so a 1-hop /tf edge
+    cannot shadow a multi-hop /tf_static chain). /tf edges — each at
+    its first published value, for extrinsics that are 'theoretically
+    static' — are admitted when include_non_static is set, or as a
+    fallback when the static graph alone does not connect the two
+    frames (so a bag carrying its extrinsics on /tf resolves whether or
+    not an unrelated /tf_static topic exists). High-rate /tf scans stop
+    as soon as parent and child are connected."""
     from roman_tpu.ops import se3_np
 
     reader = open_reader(path)
@@ -1006,7 +1009,10 @@ def read_static_transform(path: str, parent: str, child: str,
             x = uf[x]
         return x
 
+    static_pairs: set = set()
+
     def scan(topic: str, early_exit: bool) -> None:
+        static = topic == "/tf_static"
         for _, msg, _ in reader.read_messages([topic]):
             for tr in msg["transforms"]:
                 a = tr["header"]["frame_id"].lstrip("/")
@@ -1016,13 +1022,16 @@ def read_static_transform(path: str, parent: str, child: str,
                 edges[(a, b)] = se3_np.xyz_quat_to_T(
                     np.array(tr["transform"]["translation"], np.float64),
                     np.array(tr["transform"]["rotation"], np.float64))
+                if static:
+                    static_pairs.add((a, b))
                 adj.setdefault(a, []).append(b)
                 adj.setdefault(b, []).append(a)
                 uf[find(a)] = find(b)
             # a 100-400 Hz /tf stream over a long session is hundreds of
             # thousands of CDR decodes — stop once a path exists (any
-            # static path is exact; BFS below just picks the shortest of
-            # what was seen)
+            # static path is exact; the search below prefers static
+            # edges over anything seen from /tf, so reading further /tf
+            # messages could not improve the chosen path)
             if early_exit and find(src) == find(dst):
                 return
 
@@ -1036,15 +1045,31 @@ def read_static_transform(path: str, parent: str, child: str,
     connected = find(src) == find(dst)
     if have_tf and (include_non_static or not connected):
         scan("/tf", early_exit=True)
-    # BFS for the shortest frame path, then compose along it
+    # shortest path by (dynamic-edge count, hop count): /tf edges are
+    # only used where no static chain connects the components, so a
+    # bogus 1-hop /tf edge (identity published before calibration
+    # loads) can never shadow a multi-hop /tf_static chain
+    import heapq
+
+    def edge_static(a: str, b: str) -> bool:
+        return (a, b) in static_pairs or (b, a) in static_pairs
+
+    INF = (1 << 30, 1 << 30)
+    best: Dict[str, Tuple[int, int]] = {src: (0, 0)}
     prev: Dict[str, str] = {src: src}
-    queue = [src]
-    while queue and dst not in prev:
-        cur = queue.pop(0)
+    heap = [(0, 0, src)]
+    while heap:
+        nd, nh, cur = heapq.heappop(heap)
+        if (nd, nh) > best.get(cur, INF):
+            continue
+        if cur == dst:
+            break
         for nxt in adj.get(cur, []):
-            if nxt not in prev:
+            cost = (nd + (0 if edge_static(cur, nxt) else 1), nh + 1)
+            if cost < best.get(nxt, INF):
+                best[nxt] = cost
                 prev[nxt] = cur
-                queue.append(nxt)
+                heapq.heappush(heap, cost + (nxt,))
     if dst not in prev:
         raise KeyError(f"transform {parent}->{child} not found in bag TF "
                        f"(frames: {sorted(adj)})")

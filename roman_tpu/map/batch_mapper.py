@@ -262,14 +262,24 @@ class BatchMapper:
                                      state.last_obs_pos)
 
             # ---- lifecycle (reference mapper.py:93-127) ----
+            # reference parity: an observation-less frame is a lifecycle
+            # no-op (mapper.py:56-57 early-returns before any state
+            # transition), so every status change below is gated on the
+            # frame carrying at least one observation — update_batch
+            # scans mixed batches where some frames are empty
+            has_obs = jnp.any(obs_mask)
             status = state.status
+
+            def lc(pred, new, status):
+                return jnp.where(has_obs & pred, new, status)
+
             # nursery -> active
-            status = jnp.where(
-                (status == NURSERY) & (num_sightings >= p.min_sightings), ACTIVE, status)
+            status = lc((status == NURSERY)
+                        & (num_sightings >= p.min_sightings), ACTIVE, status)
             # unseen too long -> inactive (actives) / freed (nursery)
             stale = t - last_seen > p.max_t_no_sightings
-            status = jnp.where((status == ACTIVE) & stale, INACTIVE, status)
-            status = jnp.where((status == NURSERY) & stale, EMPTY, status)
+            status = lc((status == ACTIVE) & stale, INACTIVE, status)
+            status = lc((status == NURSERY) & stale, EMPTY, status)
             # inactive -> graveyard when too old or the robot moved away
             # (segment_graveyard_time / _dist, reference mapper.py:113-123:
             # the distance is current robot pose vs the robot pose at the
@@ -278,8 +288,7 @@ class BatchMapper:
                 last_obs_pos - robot_pos[None, :],
                 axis=-1) > p.segment_graveyard_dist
             old = t - last_seen > p.segment_graveyard_time
-            status = jnp.where((status == INACTIVE) & (far | old),
-                               GRAVEYARD, status)
+            status = lc((status == INACTIVE) & (far | old), GRAVEYARD, status)
 
             # ---- new segments from unmatched observations ----
             new_obs = obs_mask & ~matched
@@ -553,8 +562,20 @@ class BatchMapper:
             down = down[np.linspace(0, len(down) - 1, Q).astype(int)]
         return down.astype(np.float32)
 
+    def _widen_for(self, observations):
+        """Widen the descriptor pool to the widest incoming descriptor —
+        the Observation-list entry points must not silently truncate
+        768-d embeddings to a placeholder width any more than
+        update_batch does."""
+        wid = max((np.asarray(o.semantic_descriptor).reshape(-1).size
+                   for o in observations
+                   if o.semantic_descriptor is not None), default=0)
+        if wid > self.desc_dim:
+            self.ensure_desc_dim(wid)
+
     def pack_observations(self, observations):
         """Pack an Observation list into padded arrays (camera frame)."""
+        self._widen_for(observations)
         O = self.obs_capacity
         Q = self.params.max_points_per_segment
         obs_pts = np.zeros((O, Q, 3), np.float32)
@@ -580,6 +601,12 @@ class BatchMapper:
         self.times.append(float(t))
         if frame_descriptor is not None:
             self.frame_descriptors.append(np.asarray(frame_descriptor))
+        if len(observations) == 0:
+            # reference parity (mapper.py:56-57): empty frames are
+            # no-ops beyond history — and skipping the dispatch also
+            # saves a ~1 s tunnel round trip per empty frame here
+            return
+        self._widen_for(observations)
         O = self.obs_capacity
         Q = self.params.max_points_per_segment
         obs_pts = np.zeros((O, Q, 3), np.float32)

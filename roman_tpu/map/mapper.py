@@ -114,16 +114,18 @@ class Mapper:
         self.times_history.append(t)
         if frame_descriptor is not None:
             self.frame_descriptors_history.append(frame_descriptor)
-        # NOTE: no early return on an empty frame — the reference runs
-        # the full lifecycle (active->inactive->graveyard, nursery
-        # pruning/promotion) every update regardless of observation
-        # count (mapper.py:60-127), so tracks keep aging and retiring
-        # while the robot traverses featureless stretches.
+        if len(observations) == 0:
+            # reference parity: an observation-less frame is a complete
+            # no-op beyond the history bookkeeping (mapper.py:56-57
+            # 'if len(observations) == 0: return') — the lifecycle does
+            # NOT age or retire tracks on empty frames, so a track lost
+            # during a featureless detour can still re-fuse with its
+            # re-detected duplicate via the merge scan
+            return
         self.last_pose = pose.copy()
 
         pool = self.segments + self.segment_nursery
-        pairs = (self._gnn_associate(pool, observations)
-                 if observations else [])
+        pairs = self._gnn_associate(pool, observations)
         n_seg = len(self.segments)
         for seg_idx, obs_idx in pairs:
             if seg_idx < n_seg:

@@ -560,13 +560,16 @@ if __name__ == "__main__":
     import argparse
     import os
 
-    if os.environ.get("JAX_PLATFORMS"):
-        # deployments that pre-import jax with a pinned backend (e.g. a
-        # sitecustomize registering a remote TPU) make the env var alone
-        # too late — honor it explicitly before the first jax op. PGO
-        # graphs are a few hundred vertices, so JAX_PLATFORMS=cpu is the
-        # sensible setting for this standalone CLI.
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # This standalone CLI defaults to the host CPU: the reference's
+    # RpgoReadG2o is a host binary, PGO graphs are a few hundred
+    # vertices, and on deployments whose sitecustomize pins a remote
+    # TPU backend the default path would otherwise pay ~1 s/transfer
+    # tunnel costs for no benefit. jax.config.update is required —
+    # the JAX_PLATFORMS env var is overridden by such sitecustomize
+    # setups (verified: env cpu still selects the remote backend).
+    # Set ROMAN_TPU_RPGO_PLATFORM to run on another backend.
+    jax.config.update("jax_platforms",
+                      os.environ.get("ROMAN_TPU_RPGO_PLATFORM", "cpu"))
 
     ap = argparse.ArgumentParser()
     ap.add_argument("dim", choices=["3d", "2d"], help="pose dimension "

@@ -371,25 +371,40 @@ def test_graveyard_uses_last_observation_pose(rng):
     dev = BatchMapper(params, CameraParams.simple(), desc_dim=4,
                       obs_capacity=4)
     host = Mapper(params, CameraParams.simple())
-    center = np.array([15.0, 0.0, 1.0])   # 15 m ahead at first sight
+    target = np.array([15.0, 0.0, 1.0])   # 15 m ahead at first sight
     t = 0.0
     for f in range(8):
         # robot advances 1.6 m/frame: after ~7 frames it has moved
-        # ~11 m > graveyard_dist from the observation pose, yet is only
-        # ~4 m from the segment center (center rule would keep it)
+        # ~11 m > graveyard_dist from the target's observation pose, yet
+        # is only ~4 m from the target's center (center rule would keep
+        # it). Every frame ALSO observes a fresh nearby object — the
+        # lifecycle only runs on frames that carry observations
+        # (reference mapper.py:56-57 early-returns on empty frames).
         pose = yaw_T(0.0, np.array([1.6 * f, 0.0, 0.0]))
-        obs = ([make_obs(rng, center, pose, t, n=40, scale=0.1)]
-               if f == 0 else [])
+        obs = [make_obs(rng, np.array([1.6 * f + 2.0, 5.0, 1.0]), pose, t,
+                        n=30, scale=0.1)]
+        if f == 0:
+            obs.append(make_obs(rng, target, pose, t, n=40, scale=0.1))
         dev.update(t, pose, obs)
         host.update(t, pose, [o.copy(include_ptcld=True) for o in obs])
         t += 0.2
     from roman_tpu.map.batch_mapper import GRAVEYARD
 
     status = np.asarray(dev.state.status)
-    seg_rows = np.flatnonzero(np.asarray(dev.state.seg_id) >= 0)
-    assert len(seg_rows) == 1
-    assert status[seg_rows[0]] == GRAVEYARD
-    assert len(host.segment_graveyard) == 1 and not host.inactive_segments
+    rows = np.flatnonzero(np.asarray(dev.state.seg_id) >= 0)
+    pts = np.asarray(dev.state.points)
+    val = np.asarray(dev.state.points_valid)
+    centers = np.array([pts[r][val[r]].mean(axis=0) for r in rows])
+    tgt_rows = rows[np.linalg.norm(centers - target, axis=-1) < 1.0]
+    assert len(tgt_rows) == 1
+    assert status[tgt_rows[0]] == GRAVEYARD
+    host_grave = [s for s in host.segment_graveyard
+                  if np.linalg.norm(np.asarray(s.center).reshape(3)
+                                    - target) < 1.0]
+    assert len(host_grave) == 1
+    assert not any(np.linalg.norm(np.asarray(s.center).reshape(3)
+                                  - target) < 1.0
+                   for s in host.inactive_segments + host.segments)
 
 
 def test_oversized_observation_downsampled_not_truncated(rng):

@@ -583,3 +583,35 @@ def test_static_transform_priority_and_tf_fallback(tmp_path):
         np.testing.assert_allclose(got3, T_other @ T_true, atol=1e-9)
     with pytest.raises(KeyError):
         rosbag.read_static_transform(bag3, "odom", "wheel")
+
+
+def test_static_chain_beats_direct_dynamic_edge(tmp_path):
+    """Path-level static priority: a direct (base, camera) edge on /tf
+    (e.g. an identity published before calibration loads) must NOT
+    shadow the calibrated 2-hop /tf_static chain base->imu->camera —
+    the search minimizes dynamic-edge count before hop count."""
+    from roman_tpu.ops import se3_np
+
+    def tf_msg(parent, child, T):
+        t, q = se3_np.T_to_xyz_quat(T)
+        return {"transforms": [{
+            "header": {"stamp": 0.0, "frame_id": parent},
+            "child_frame_id": child,
+            "transform": {"translation": t, "rotation": q}}]}
+
+    T_bi = se3_np.xyz_quat_to_T(np.array([0.1, 0.0, 0.2]),
+                                np.array([0.0, 0.0, 0.0, 1.0]))
+    T_ic = se3_np.xyz_quat_to_T(np.array([0.0, 0.05, 0.0]),
+                                np.array([0.0, 0.0, 0.0, 1.0]))
+    bag = str(tmp_path / "prio.bag")
+    with rosbag.BagWriter(bag) as w:
+        # bogus direct edge FIRST in time on /tf
+        w.write("/tf", "tf2_msgs/TFMessage",
+                tf_msg("base", "camera", np.eye(4)), 0.0)
+        w.write("/tf_static", "tf2_msgs/TFMessage",
+                tf_msg("base", "imu", T_bi), 1.0)
+        w.write("/tf_static", "tf2_msgs/TFMessage",
+                tf_msg("imu", "camera", T_ic), 1.0)
+    got = rosbag.read_static_transform(bag, "base", "camera",
+                                       include_non_static=True)
+    np.testing.assert_allclose(got, T_bi @ T_ic, atol=1e-9)
