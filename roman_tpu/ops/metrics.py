@@ -55,7 +55,15 @@ def norm_chamfer_similarity(
         jnp.max(jnp.where(mask2[..., None], points2, -_BIG), axis=-2),
     )
     diag = jnp.linalg.norm(hi - lo, axis=-1)
-    return jnp.where(diag > 0, 1.0 - cd / jnp.maximum(diag, 1e-12), 1.0)
+    sim = jnp.where(diag > 0, 1.0 - cd / jnp.maximum(diag, 1e-12), 1.0)
+    # reference empty-cloud semantics (similiarity_metrics.py:63-64,88):
+    # chamfer(empty, X) = inf -> similarity -inf (a padded all-invalid
+    # row must never look like a plausible match); BOTH empty -> the
+    # reference's diag-0 branch returns 1.0
+    e1 = jnp.sum(mask1, axis=-1) == 0
+    e2 = jnp.sum(mask2, axis=-1) == 0
+    sim = jnp.where(e1 ^ e2, -_BIG, sim)
+    return jnp.where(e1 & e2, 1.0, sim)
 
 
 def _psd_sqrt(A: jax.Array) -> jax.Array:

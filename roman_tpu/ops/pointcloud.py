@@ -20,10 +20,14 @@ _BIG = 1e9
 def statistical_outlier_mask(
     points: jax.Array, mask: jax.Array, nb_neighbors: int = 10, std_ratio: float = 1.0
 ) -> jax.Array:
-    """Keep-mask for statistical outlier removal (o3d semantics,
-    segment.py:183-184): a point is kept if its mean distance to its
-    nb_neighbors nearest neighbors is below mean + std_ratio * std of that
-    statistic over the cloud.
+    """Keep-mask for statistical outlier removal, o3d-EXACT
+    (RemoveStatisticalOutliers, called at reference segment.py:183-184):
+    SearchKNN over the cloud returns the query point itself among the
+    nb_neighbors hits (distance 0), so each point's statistic averages
+    its nb_neighbors-1 real neighbors over a nb_neighbors denominator;
+    the cloud-level std uses Bessel's N-1; and a point is kept iff
+    0 < avg < mean + std_ratio * std (strict, and zero-avg duplicates
+    are dropped like o3d drops them).
 
     points (..., n, 3), mask (..., n) -> keep (..., n) (subset of mask).
     """
@@ -31,9 +35,8 @@ def statistical_outlier_mask(
         (points[..., :, None, :] - points[..., None, :, :]) ** 2, axis=-1
     )
     pair_ok = mask[..., :, None] & mask[..., None, :]
-    eye = jnp.eye(points.shape[-2], dtype=bool)
-    d2 = jnp.where(pair_ok & ~eye, d2, _BIG)
-    k = min(nb_neighbors, points.shape[-2] - 1)
+    d2 = jnp.where(pair_ok, d2, _BIG)  # self kept: o3d's KNN includes it
+    k = min(nb_neighbors, points.shape[-2])
     # negative top_k = k smallest
     knn_d2, _ = jax.lax.top_k(-d2, k)
     knn_d = jnp.sqrt(jnp.maximum(-knn_d2, 0.0))
@@ -44,9 +47,10 @@ def statistical_outlier_mask(
     mf = mask.astype(points.dtype)
     n = jnp.maximum(jnp.sum(mf, axis=-1), 1.0)
     mu = jnp.sum(mean_d * mf, axis=-1) / n
-    var = jnp.sum((mean_d - mu[..., None]) ** 2 * mf, axis=-1) / n
+    var = jnp.sum((mean_d - mu[..., None]) ** 2 * mf,
+                  axis=-1) / jnp.maximum(n - 1.0, 1.0)
     thresh = mu + std_ratio * jnp.sqrt(var)
-    return mask & (mean_d <= thresh[..., None])
+    return mask & (mean_d > 0.0) & (mean_d < thresh[..., None])
 
 
 def largest_cluster_mask(
@@ -169,9 +173,12 @@ def statistical_outlier_mask_np(
         return np.ones(n, dtype=bool)
     sq = np.einsum("ij,ij->i", pts, pts)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (pts @ pts.T)
-    np.fill_diagonal(d2, np.inf)
-    k = min(nb_neighbors, n - 1)
+    # o3d-exact: SearchKNN includes the query itself (distance 0) among
+    # the nb_neighbors hits, the cloud std uses N-1, and the keep rule
+    # is strict 0 < avg < thresh (see statistical_outlier_mask)
+    np.fill_diagonal(d2, 0.0)
+    k = min(nb_neighbors, n)
     part = np.partition(d2, k - 1, axis=1)[:, :k]
     mean_d = np.sqrt(np.maximum(part, 0.0)).mean(axis=1)
-    thresh = mean_d.mean() + std_ratio * mean_d.std()
-    return mean_d <= thresh
+    thresh = mean_d.mean() + std_ratio * mean_d.std(ddof=1)
+    return (mean_d > 0.0) & (mean_d < thresh)

@@ -45,7 +45,12 @@ class YoloSegConfig:
 
 
 FASTSAM_X = YoloSegConfig(width_mult=1.25, depth_mult=1.0)
-FASTSAM_S = YoloSegConfig(width_mult=0.5, depth_mult=0.33)
+# yolov8 scale table: s = (depth 0.33, width 0.50, max_channels 1024) —
+# the x-scale 512 cap would build the P5 trunk half-width (ch(1024) =
+# 256 instead of the real yolov8s-seg's 512) and real FastSAM-s
+# checkpoints would shape-mismatch at model.7+
+FASTSAM_S = YoloSegConfig(width_mult=0.5, depth_mult=0.33,
+                          max_channels=1024)
 TINY_TEST = YoloSegConfig(width_mult=0.125, depth_mult=0.33, nm=8)
 
 
@@ -338,13 +343,15 @@ def dfl_decode(box_logits: jax.Array, reg_max: int) -> jax.Array:
 
 
 def decode_predictions(outputs: dict, cfg: YoloSegConfig, img_hw: Tuple[int, int],
-                       strides: Sequence[int] = (8, 16, 32)):
-    """Raw head outputs -> flat per-anchor (boxes xyxy, scores, mask coeffs).
-
-    boxes are in input-image pixel coordinates.
-    """
+                       strides: Sequence[int] = (8, 16, 32),
+                       with_cls: bool = False):
+    """Raw head outputs -> flat per-anchor (boxes xyxy, scores, mask
+    coeffs[, argmax class when with_cls]). boxes are in input-image pixel
+    coordinates. The ONE per-level DFL/anchor decode — detect_labeled
+    consumes the with_cls variant so an anchor/stride convention fix can
+    never land in only one of the two paths."""
     H, W = img_hw
-    all_boxes, all_scores, all_mc = [], [], []
+    all_boxes, all_scores, all_mc, all_cls = [], [], [], []
     for (box, cls, mc), stride in zip(outputs["levels"], strides):
         B, h, w, _ = box.shape
         ltrb = dfl_decode(box.reshape(B, h * w, -1), cfg.reg_max) * stride
@@ -358,14 +365,18 @@ def decode_predictions(outputs: dict, cfg: YoloSegConfig, img_hw: Tuple[int, int
         x2 = centers[None, :, 0] + ltrb[..., 2]
         y2 = centers[None, :, 1] + ltrb[..., 3]
         boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
-        scores = jax.nn.sigmoid(cls.reshape(B, h * w, cfg.nc).astype(jnp.float32))
-        scores = jnp.max(scores, axis=-1)  # class-agnostic
+        probs = jax.nn.sigmoid(cls.reshape(B, h * w, cfg.nc).astype(jnp.float32))
         all_boxes.append(boxes)
-        all_scores.append(scores)
+        all_scores.append(jnp.max(probs, axis=-1))  # class-agnostic
         all_mc.append(mc.reshape(B, h * w, cfg.nm).astype(jnp.float32))
-    return (jnp.concatenate(all_boxes, axis=1),
-            jnp.concatenate(all_scores, axis=1),
-            jnp.concatenate(all_mc, axis=1))
+        if with_cls:
+            all_cls.append(jnp.argmax(probs, axis=-1).astype(jnp.int32))
+    res = (jnp.concatenate(all_boxes, axis=1),
+           jnp.concatenate(all_scores, axis=1),
+           jnp.concatenate(all_mc, axis=1))
+    if with_cls:
+        return res + (jnp.concatenate(all_cls, axis=1),)
+    return res
 
 
 def nms_topk(boxes, scores, conf: float, iou_thresh: float, max_out: int):
@@ -453,26 +464,8 @@ def detect_labeled(model: YoloSeg, variables, images, cfg: YoloSegConfig,
     """
     H, W = images.shape[1:3]
     out = model.apply(variables, images)
-    all_boxes, all_scores, all_cls = [], [], []
-    for (box, cls_logits, _), stride in zip(out["levels"], (8, 16, 32)):
-        B, h, w, _ = box.shape
-        ltrb = dfl_decode(box.reshape(B, h * w, -1), cfg.reg_max) * stride
-        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride
-        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
-        cy, cx = jnp.meshgrid(ys, xs, indexing="ij")
-        centers = jnp.stack([cx.reshape(-1), cy.reshape(-1)], axis=-1)
-        x1 = centers[None, :, 0] - ltrb[..., 0]
-        y1 = centers[None, :, 1] - ltrb[..., 1]
-        x2 = centers[None, :, 0] + ltrb[..., 2]
-        y2 = centers[None, :, 1] + ltrb[..., 3]
-        all_boxes.append(jnp.stack([x1, y1, x2, y2], axis=-1))
-        probs = jax.nn.sigmoid(
-            cls_logits.reshape(B, h * w, cfg.nc).astype(jnp.float32))
-        all_scores.append(jnp.max(probs, axis=-1))
-        all_cls.append(jnp.argmax(probs, axis=-1).astype(jnp.int32))
-    boxes = jnp.concatenate(all_boxes, axis=1)
-    scores = jnp.concatenate(all_scores, axis=1)
-    cls = jnp.concatenate(all_cls, axis=1)
+    boxes, scores, _, cls = decode_predictions(out, cfg, (H, W),
+                                               with_cls=True)
     idx, keep = nms_topk(boxes, scores, conf, iou, max_out)
     kb = jnp.take_along_axis(boxes, idx[..., None], axis=1)
     ks = jnp.take_along_axis(scores, idx, axis=1)

@@ -12,17 +12,28 @@ import jax.numpy as jnp
 
 
 def frame_descriptor(patches: jax.Array, kind: str = "dino-gem", gem_p: float = 3.0):
-    """patches: (..., gh, gw, D) -> (..., D)."""
+    """patches: (..., gh, gw, D) -> (..., D), L2-normalized.
+
+    gem is the reference's SIGNED generalized mean: mean(x^3) per
+    channel then sign(.)*|.|^(1/3) (fastsam_wrapper.py:658-661) — DINO
+    patch features are ~zero-mean, so clipping negatives (an earlier
+    bug here) collapsed roughly half the channels to a constant. gap
+    uses mean where the reference sums; after the reference's own final
+    L2 normalization (fastsam_wrapper.py:664, applied to every kind)
+    the two differ only by a positive scale, i.e. not at all."""
     flat = patches.reshape(patches.shape[:-3] + (-1, patches.shape[-1]))
     kind = kind.split("-")[-1]
     if kind == "gap":
-        return jnp.mean(flat, axis=-2)
-    if kind == "gmp":
-        return jnp.max(flat, axis=-2)
-    if kind == "gem":
-        x = jnp.clip(flat, 1e-6, None)
-        return jnp.mean(x**gem_p, axis=-2) ** (1.0 / gem_p)
-    raise ValueError(f"unknown frame descriptor {kind!r}")
+        d = jnp.mean(flat, axis=-2)
+    elif kind == "gmp":
+        d = jnp.max(flat, axis=-2)
+    elif kind == "gem":
+        cubed = jnp.mean(flat**gem_p, axis=-2)
+        d = jnp.sign(cubed) * jnp.maximum(jnp.abs(cubed), 1e-12) ** (
+            1.0 / gem_p)
+    else:
+        raise ValueError(f"unknown frame descriptor {kind!r}")
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
 
 
 def masked_mean_embedding(pixel_features: jax.Array, masks: jax.Array):

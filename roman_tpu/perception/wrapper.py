@@ -130,7 +130,11 @@ class PerceptionFrontend:
         if params.semantics == "clip":
             from roman_tpu.perception import clip as clip_mod
 
-            self.clip_cfg = clip_cfg or clip_mod.CLIP_VIT_B32
+            # reference parity: fastsam_wrapper.py:182 hardcodes
+            # clip.load('ViT-L/14') (768-d projected embeddings) — a
+            # ViT-B/32 default would silently embed into a different,
+            # lower-capacity space and shape-mismatch real L/14 weights
+            self.clip_cfg = clip_cfg or clip_mod.CLIP_VIT_L14
             self.clip_model = clip_mod.make_model(self.clip_cfg)
             if clip_variables is None:
                 s = self.clip_cfg.img_size
@@ -271,8 +275,15 @@ class PerceptionFrontend:
             max_area = H * W / (p.max_mask_len_div ** 2)
             ok = ok & (area >= min_area) & (area <= max_area)
             # edge contact (5 px, per-side allow flags; reference
-            # _delete_edge_masks :486-495, default all-allowed)
-            allow = p.allow_tblr_edges
+            # _delete_edge_masks :486-495, default all-allowed). The
+            # reference filters the ROTATED image, so its t/b/l/r flags
+            # name the rotated frame's sides; these masks are already
+            # un-rotated, so permute the flags onto the camera-frame
+            # edges they correspond to (e.g. under CCW pre-rotation the
+            # rotated top edge is the camera right edge).
+            perm = {None: (0, 1, 2, 3), "CCW": (2, 3, 1, 0),
+                    "CW": (3, 2, 0, 1), "180": (1, 0, 3, 2)}[rot]
+            allow = tuple(p.allow_tblr_edges[i] for i in perm)
             if not all(allow):
                 edges = [
                     jnp.any(masks[..., :5, :], axis=(-2, -1)),    # top
@@ -562,20 +573,43 @@ def apply_label_filters(masks: jax.Array, valid: jax.Array,
     return ok
 
 
+def _ellipse_footprint(ksize: int) -> np.ndarray:
+    """cv.getStructuringElement(cv.MORPH_ELLIPSE, (ksize, ksize)) —
+    OpenCV's per-row ellipse fill with saturate_cast (round-to-nearest)
+    half-widths (a (7,7) ellipse is rows of 1,5,7,7,7,5,1 pixels),
+    reproduced exactly so erosion keeps the corner pixels a square
+    kernel would strip (pinned against cv2 in
+    test_erosion_matches_cv2_ellipse)."""
+    r = ksize // 2
+    fp = np.zeros((ksize, ksize), bool)
+    for i in range(ksize):
+        dy = i - r
+        if abs(dy) <= r:
+            dx = int(np.rint(r * np.sqrt(max(r * r - dy * dy, 0)
+                                         / max(r * r, 1))))
+            fp[i, r - dx:r + dx + 1] = True
+    return fp
+
+
 def erode_masks(masks: jax.Array, size: int) -> jax.Array:
-    """Binary erosion with a (size, size) kernel (fastsam_wrapper erosion):
-    min-pool = NOT(max-pool(NOT(mask)))."""
+    """Binary erosion with the reference's (size, size) MORPH_ELLIPSE
+    structuring element (fastsam_wrapper.py:246-249 + cv.erode): a mask
+    pixel survives iff every footprint pixel under the ellipse is set.
+    Border pixels follow cv.erode's default border (treated as
+    foreground), implemented by padding with ones; the footprint test is
+    one small fixed convolution, which XLA maps onto the conv units."""
     if size <= 1:
         return masks
-    import flax.linen as nn
-
-    inv = (~masks).astype(jnp.float32)
     B, K, H, W = masks.shape
-    pooled = nn.max_pool(
-        inv.reshape(B * K, H, W, 1), (size, size), strides=(1, 1),
-        padding=((size // 2, size // 2), (size // 2, size // 2)),
-    ).reshape(B, K, H, W)
-    return pooled < 0.5
+    fp = _ellipse_footprint(size)
+    e = size // 2
+    x = jnp.pad(masks.astype(jnp.float32).reshape(B * K, H, W, 1),
+                ((0, 0), (e, e), (e, e), (0, 0)), constant_values=1.0)
+    kern = jnp.asarray(fp, jnp.float32)[:, :, None, None]
+    hits = jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return (hits[..., 0] >= fp.sum() - 0.5).reshape(B, K, H, W)
 
 
 def triangle_ignore_mask(triangles, H: int, W: int) -> np.ndarray:
@@ -602,7 +636,12 @@ def rotate_images(images: jax.Array, how: Optional[str]):
 
 def _mask_bboxes(masks: jax.Array) -> jax.Array:
     """(B, K, H, W) bool -> (B, K, 4) xyxy pixel boxes (reference
-    mask_bounding_box, fastsam_wrapper.py:580-600). Empty masks get a
+    mask_bounding_box, fastsam_wrapper.py:577-600): a width x height box
+    (from the mask's min/max extents) RE-CENTERED on the mask's pixel
+    centroid and clipped to the image — for an asymmetric (e.g.
+    L-shaped) mask this is shifted from the tight box, and the CLIP crop
+    must see the same pixels the reference crops. x2/y2 are exclusive
+    (reference values are inclusive; +1 here). Empty masks get a
     degenerate 1px box at the origin (callers gate on validity)."""
     B, K, H, W = masks.shape
     any_row = jnp.any(masks, axis=-1)                      # (B, K, H)
@@ -611,11 +650,23 @@ def _mask_bboxes(masks: jax.Array) -> jax.Array:
     xs = jnp.arange(W, dtype=jnp.float32)
     big = jnp.float32(1e9)
     y1 = jnp.min(jnp.where(any_row, ys, big), axis=-1)
-    y2 = jnp.max(jnp.where(any_row, ys, -big), axis=-1) + 1.0
+    y2 = jnp.max(jnp.where(any_row, ys, -big), axis=-1)    # inclusive
     x1 = jnp.min(jnp.where(any_col, xs, big), axis=-1)
-    x2 = jnp.max(jnp.where(any_col, xs, -big), axis=-1) + 1.0
+    x2 = jnp.max(jnp.where(any_col, xs, -big), axis=-1)
+    mf = masks.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(mf, axis=(-2, -1)), 1.0)       # (B, K)
+    cy = jnp.sum(jnp.sum(mf, axis=-1) * ys, axis=-1) / n   # centroid row
+    cx = jnp.sum(jnp.sum(mf, axis=-2) * xs, axis=-1) / n   # centroid col
+    hh = jnp.floor((y2 - y1 + 1.0) / 2.0)                  # height // 2
+    hw = jnp.floor((x2 - x1 + 1.0) / 2.0)                  # width // 2
+    # int(max(c - h//2, 0)) / int(min(c + h//2, dim - 1)): floor == int
+    # truncation for these non-negative values
+    y1n = jnp.floor(jnp.maximum(cy - hh, 0.0))
+    y2n = jnp.floor(jnp.minimum(cy + hh, H - 1.0))
+    x1n = jnp.floor(jnp.maximum(cx - hw, 0.0))
+    x2n = jnp.floor(jnp.minimum(cx + hw, W - 1.0))
     empty = ~jnp.any(any_row, axis=-1)
-    box = jnp.stack([x1, y1, x2, y2], axis=-1)
+    box = jnp.stack([x1n, y1n, x2n + 1.0, y2n + 1.0], axis=-1)
     return jnp.where(empty[..., None], jnp.asarray([0.0, 0.0, 1.0, 1.0]), box)
 
 

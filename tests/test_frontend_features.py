@@ -46,11 +46,24 @@ def _fe(params, **kw):
 
 
 def test_mask_bboxes():
-    masks = np.zeros((1, 2, 10, 12), bool)
+    """Reference mask_bounding_box semantics (fastsam_wrapper.py:577-600):
+    a width x height box RE-CENTERED on the pixel centroid, not the
+    tight min/max box."""
+    masks = np.zeros((1, 3, 10, 12), bool)
     masks[0, 0, 2:5, 3:9] = True  # y in [2,4], x in [3,8]
+    # L-shape: column x=0 y=0..7 plus row y=0 x=0..7 — centroid pulls
+    # the window toward the corner, clipping the far lobes like the
+    # reference does
+    masks[0, 1, 0:8, 0] = True
+    masks[0, 1, 0, 0:8] = True
     boxes = np.asarray(_mask_bboxes(jnp.asarray(masks)))
-    np.testing.assert_allclose(boxes[0, 0], [3.0, 2.0, 9.0, 5.0])
-    np.testing.assert_allclose(boxes[0, 1], [0.0, 0.0, 1.0, 1.0])  # empty
+    # rect: centroid (3.0, 5.5), h=3 (hh=1), w=6 (hw=3) ->
+    # rows int(2)..int(4), cols int(2.5)..int(8.5) -> (2,2,8,4) incl.
+    np.testing.assert_allclose(boxes[0, 0], [2.0, 2.0, 9.0, 5.0])
+    # L: centroid (28/15, 28/15)~1.87, h=w=8 (half 4) ->
+    # rows/cols int(0)..int(5.87) -> (0,0,5,5) incl., NOT the tight 0..7
+    np.testing.assert_allclose(boxes[0, 1], [0.0, 0.0, 6.0, 6.0])
+    np.testing.assert_allclose(boxes[0, 2], [0.0, 0.0, 1.0, 1.0])  # empty
 
 
 def test_rotate_images_roundtrip(rng):

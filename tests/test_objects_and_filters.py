@@ -158,3 +158,22 @@ def test_erosion_and_rotation(rng):
     assert rotate_images(img, "180").shape == (1, 4, 6, 3)
     tri = triangle_ignore_mask([[(0, 0), (4, 0), (0, 4)]], 8, 8)
     assert tri[1, 1] and not tri[7, 7]
+
+
+def test_erosion_matches_cv2_ellipse(rng):
+    import pytest
+    """erode_masks must reproduce cv.erode with the reference's
+    MORPH_ELLIPSE element exactly (footprint shape incl. the integer-
+    truncated row fills, and the default foreground border)."""
+    cv = pytest.importorskip("cv2")
+    from roman_tpu.perception.wrapper import _ellipse_footprint
+
+    m = np.random.default_rng(3).uniform(size=(32, 40)) > 0.35
+    for e in (1, 2, 3):
+        k = 2 * e + 1
+        el = cv.getStructuringElement(cv.MORPH_ELLIPSE, (k, k), (e, e))
+        np.testing.assert_array_equal(_ellipse_footprint(k),
+                                      el.astype(bool), err_msg=f"k={k}")
+        ref = cv.erode(m.astype(np.uint8), el).astype(bool)
+        got = np.asarray(erode_masks(jnp.asarray(m[None, None]), k))[0, 0]
+        np.testing.assert_array_equal(got, ref, err_msg=f"k={k}")

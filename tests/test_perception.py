@@ -125,15 +125,30 @@ def test_pos_embed_interpolation(rng):
 def test_frame_descriptor_pooling(rng):
     from roman_tpu.perception.frame_descriptor import frame_descriptor
 
-    patches = jnp.asarray(rng.uniform(size=(2, 8, 8, 16)).astype(np.float32))
+    # ZERO-MEAN features (like DINO patches): the reference's signed
+    # cube-root gem keeps negative channels; clipping them (an earlier
+    # bug) collapsed ~half the signal. Every kind is L2-normalized like
+    # the reference (fastsam_wrapper.py:658-664).
+    patches = jnp.asarray(
+        rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
     gap = np.asarray(frame_descriptor(patches, "dino-gap"))
     gmp = np.asarray(frame_descriptor(patches, "dino-gmp"))
     gem = np.asarray(frame_descriptor(patches, "dino-gem"))
     p = np.asarray(patches).reshape(2, -1, 16)
-    np.testing.assert_allclose(gap, p.mean(axis=1), rtol=1e-5)
-    np.testing.assert_allclose(gmp, p.max(axis=1), rtol=1e-5)
-    ref_gem = (np.clip(p, 1e-6, None) ** 3).mean(axis=1) ** (1 / 3)
-    np.testing.assert_allclose(gem, ref_gem, rtol=1e-4)
+
+    def unit(v):
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+    np.testing.assert_allclose(gap, unit(p.mean(axis=1)), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(gmp, unit(p.max(axis=1)), rtol=1e-5,
+                               atol=1e-6)
+    cubed = (p ** 3).mean(axis=1)
+    ref_gem = unit(np.sign(cubed) * np.abs(cubed) ** (1 / 3))
+    np.testing.assert_allclose(gem, ref_gem, rtol=1e-3, atol=1e-6)
+    # negative channels survive (the torch reference keeps their sign)
+    assert (gem < 0).any()
+    np.testing.assert_allclose(np.linalg.norm(gem, axis=-1), 1.0, rtol=1e-5)
 
 
 def test_orbax_checkpoint_roundtrip(tmp_path, rng):
